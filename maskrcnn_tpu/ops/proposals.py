@@ -1,0 +1,89 @@
+"""RPN proposal generation: top-k → decode → clip → NMS, all static-shape.
+
+TPU-native replacement for the reference's `ProposalLayer.evaluate`
+(`Sources/Mask-RCNN-CoreML/ProposalLayer.swift:103-195`), whose hot spots —
+a ~45 ms vDSP sort over 261k scores (`:131-133`) and a scalar greedy NMS —
+become one `lax.top_k` and the tiled vectorized NMS of `ops/nms.py`.
+
+Step parity with the reference:
+  1. foreground scores = odd-strided slice of the (A, 2) class probs
+     (`:124-126`) — here just `probs[:, 1]`;
+  2. descending sort + clip to `pre_nms_max_proposals` (`:129-134`)
+     == `lax.top_k(fg, pre_nms)`;
+  3. gather deltas + anchors, scale deltas by bbox_std_dev (`:139-160`);
+  4. apply deltas, clip to [0, 1] (`:162-166`);
+  5. greedy IoU-0.7 NMS, keep ≤ `max_proposals` (`:169-175`);
+  6. zero-pad the output to a static (max_proposals, 4) (`:186-192`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from maskrcnn_tpu.ops.boxes import apply_box_deltas, clip_boxes
+from maskrcnn_tpu.ops.nms import nms_gather, nms_padded
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pre_nms_max_proposals", "max_proposals", "nms_tile"))
+def generate_proposals(
+    fg_scores: jnp.ndarray,
+    deltas: jnp.ndarray,
+    anchors: jnp.ndarray,
+    *,
+    bbox_std_dev=(0.1, 0.1, 0.2, 0.2),
+    pre_nms_max_proposals: int = 6000,
+    max_proposals: int = 1000,
+    nms_threshold: float = 0.7,
+    nms_tile: int = 512,
+):
+    """(A,) fg scores + (A,4) deltas + (A,4) anchors -> padded ROIs.
+
+    Returns:
+      rois: (max_proposals, 4) normalized y1x1y2x2, zero-padded tail.
+      valid: (max_proposals,) bool mask of real proposals.
+    """
+    a = fg_scores.shape[0]
+    k = min(a, pre_nms_max_proposals)
+
+    fg_scores = fg_scores.astype(jnp.float32)
+    scores, top_idx = jax.lax.top_k(fg_scores, k)
+
+    sel_deltas = jnp.take(deltas, top_idx, axis=0).astype(jnp.float32)
+    sel_anchors = jnp.take(anchors, top_idx, axis=0).astype(jnp.float32)
+
+    std = jnp.asarray(bbox_std_dev, jnp.float32)
+    boxes = apply_box_deltas(sel_anchors, sel_deltas * std)
+    boxes = clip_boxes(boxes)
+
+    idx, valid = nms_padded(
+        boxes, jnp.ones((k,), jnp.bool_), nms_threshold, max_proposals,
+        tile_size=min(nms_tile, _round_up(k, 128)))
+    rois = nms_gather(boxes, idx)
+    return rois, valid
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def flatten_rpn_outputs(per_level_logits, per_level_deltas):
+    """Per-level RPN outputs -> flat anchor-ordered tensors.
+
+    Each level's logits are (H, W, anchors_per_loc * 2) and deltas
+    (H, W, anchors_per_loc * 4). Flattening (H, W, apl, ·) row-major matches
+    the anchor table ordering (levels outer, y/x row-major, ratio fastest —
+    `core/anchors.py` contract). Returns (A, 2) logits and (A, 4) deltas.
+    """
+    logits = []
+    deltas = []
+    for lg, dl in zip(per_level_logits, per_level_deltas):
+        h, w, c2 = lg.shape
+        apl = c2 // 2
+        logits.append(lg.reshape(h * w * apl, 2))
+        deltas.append(dl.reshape(h * w * apl, 4))
+    return jnp.concatenate(logits, axis=0), jnp.concatenate(deltas, axis=0)

@@ -1,0 +1,152 @@
+"""Pyramid ROIAlign as one flat gather over the concatenated FPN pyramid.
+
+TPU-native replacement for the reference's `PyramidROIAlignLayer`
+(`Sources/Mask-RCNN-CoreML/PyramidROIAlignLayer.swift:40-498`), which had to
+(a) pick an FPN level per ROI on CPU (`:373-377`), (b) group consecutive
+same-level ROIs (`:399-467`), (c) batch ≤64 crops through
+`MPSNNCropAndResizeBilinear` per 4-channel texture slice (`:212-224,469-498`)
+and (d) pipeline three Metal command buffers (`:143-179`). None of that
+machinery survives on TPU: all four pyramid levels are flattened row-major
+into one (S, C) table, each ROI's bilinear corner samples become flat indices
+(level offset + y*W + x), and the whole op is a single XLA gather + weighted
+sum — no grouping, no batching, no host↔device hops.
+
+Sampling semantics follow `tf.image.crop_and_resize` (bilinear,
+out-of-range → 0), because the reference's correctness oracle is its
+TensorFlow comparison path (SURVEY.md §7 "hard parts" #2), not MPS quirks.
+
+Level selection (reference `PyramidROIAlignLayer.swift:373-377`):
+    level = round(log2(sqrt(w*h) / (224/sqrt(image_area)))) + 4, clamped [2,5]
+with zero-area ROIs (log2(0) = -inf) treated as padding → zero output.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def roi_levels(
+    rois: jnp.ndarray,
+    image_shape: tuple[int, int],
+    canonical_scale: float = 224.0,
+    min_level: int = 2,
+    max_level: int = 5,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Assign each normalized (N,4) ROI to an FPN level.
+
+    Returns (level_index, valid): level_index in [0, max_level-min_level]
+    relative to P_{min_level}; valid is False for degenerate (≤0 area) ROIs,
+    which the reference routes to its zero-padding path
+    (`PyramidROIAlignLayer.swift:380-390`).
+    """
+    h = rois[:, 2] - rois[:, 0]
+    w = rois[:, 3] - rois[:, 1]
+    area = w * h
+    image_area = float(image_shape[0]) * float(image_shape[1])
+    ratio = canonical_scale / jnp.sqrt(image_area)
+    # log2(sqrt(area)/ratio) + 4 == 0.5*log2(area) - log2(ratio) + 4
+    lvl = 0.5 * jnp.log2(jnp.maximum(area, 1e-30)) - jnp.log2(ratio) + 4.0
+    # Swift round() rounds half away from zero; jnp.round is half-to-even.
+    # lvl is positive here, so floor(x + 0.5) matches the reference exactly.
+    lvl = jnp.clip(jnp.floor(lvl + 0.5), min_level, max_level).astype(jnp.int32)
+    valid = area > 0.0
+    return jnp.where(valid, lvl - min_level, 0), valid
+
+
+def _crop_grid(coord_lo, coord_hi, size_minus_1, crop: int):
+    """1-D crop_and_resize sample positions for one ROI edge pair.
+
+    coord_lo/hi: (N,) normalized y1/y2 (or x1/x2); size_minus_1: (N,) per-ROI
+    feature extent minus one. Returns (N, crop) float32 sample positions.
+    """
+    steps = jnp.arange(crop, dtype=jnp.float32)  # (P,)
+    if crop > 1:
+        span = (coord_hi - coord_lo) * size_minus_1 / (crop - 1)  # (N,)
+        return coord_lo[:, None] * size_minus_1[:, None] + steps[None, :] * span[:, None]
+    return 0.5 * (coord_lo + coord_hi)[:, None] * size_minus_1[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("crop_size", "image_shape",
+                                             "canonical_scale"))
+def pyramid_roi_align(
+    features: Sequence[jnp.ndarray],
+    rois: jnp.ndarray,
+    crop_size: int,
+    image_shape: tuple[int, int],
+    canonical_scale: float = 224.0,
+) -> jnp.ndarray:
+    """Pool (N, crop, crop, C) features for (N, 4) normalized ROIs.
+
+    Args:
+      features: pyramid levels P2..P5, each (H_l, W_l, C), finest first.
+      rois: (N, 4) y1x1y2x2 in [0, 1]; zero rows are padding → zero output.
+      crop_size: output spatial size (7 for the classifier head, 14 for the
+        mask head — reference `PyramidROIAlignLayer.swift:45`).
+      image_shape: (H, W) of the network input, for level selection.
+    """
+    num_levels = len(features)
+    c = features[0].shape[-1]
+    compute_dtype = features[0].dtype
+
+    # Flatten the pyramid row-major into one (S, C) table.
+    flat = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
+    heights = jnp.asarray([f.shape[0] for f in features], jnp.float32)
+    widths = jnp.asarray([f.shape[1] for f in features], jnp.float32)
+    sizes = [f.shape[0] * f.shape[1] for f in features]
+    offsets = jnp.asarray(
+        [sum(sizes[:i]) for i in range(num_levels)], jnp.int32)
+
+    rois = rois.astype(jnp.float32)
+    level, valid = roi_levels(
+        rois, image_shape, canonical_scale,
+        min_level=2, max_level=2 + num_levels - 1)
+
+    fh = jnp.take(heights, level)  # (N,) per-roi feature height
+    fw = jnp.take(widths, level)
+    off = jnp.take(offsets, level)  # (N,) flat offset of the roi's level
+    row_stride = jnp.take(widths, level).astype(jnp.int32)
+
+    y = _crop_grid(rois[:, 0], rois[:, 2], fh - 1.0, crop_size)  # (N, P)
+    x = _crop_grid(rois[:, 1], rois[:, 3], fw - 1.0, crop_size)  # (N, P)
+
+    # crop_and_resize: samples outside [0, size-1] contribute 0.
+    y_in = (y >= 0.0) & (y <= (fh - 1.0)[:, None])
+    x_in = (x >= 0.0) & (x <= (fw - 1.0)[:, None])
+
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    wy = (y - y0)[:, :, None]  # (N, P, 1)
+    wx = (x - x0)[:, None, :]  # (N, 1, P)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, (fh - 1.0)[:, None].astype(jnp.int32))
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, (fw - 1.0)[:, None].astype(jnp.int32))
+    y1i = jnp.minimum(y0i + 1, (fh - 1.0)[:, None].astype(jnp.int32))
+    x1i = jnp.minimum(x0i + 1, (fw - 1.0)[:, None].astype(jnp.int32))
+
+    base = off[:, None]  # (N, 1)
+
+    def flat_idx(yi, xi):
+        # (N, P) x (N, P) -> (N, P, P) flat table rows
+        return (base[:, :, None] + yi[:, :, None] * row_stride[:, None, None]
+                + xi[:, None, :])
+
+    i00 = flat_idx(y0i, x0i)
+    i01 = flat_idx(y0i, x1i)
+    i10 = flat_idx(y1i, x0i)
+    i11 = flat_idx(y1i, x1i)
+
+    def gather(idx):
+        g = jnp.take(flat, idx.reshape(-1), axis=0)
+        return g.reshape(idx.shape + (c,)).astype(jnp.float32)
+
+    top = gather(i00) * (1.0 - wx)[..., None] + gather(i01) * wx[..., None]
+    bot = gather(i10) * (1.0 - wx)[..., None] + gather(i11) * wx[..., None]
+    out = top * (1.0 - wy)[..., None] + bot * wy[..., None]
+
+    in_range = (y_in[:, :, None] & x_in[:, None, :])[..., None]
+    mask = in_range & valid[:, None, None, None]
+    out = jnp.where(mask, out, 0.0)
+    return out.astype(compute_dtype)
