@@ -1,0 +1,162 @@
+"""The full Mask-RCNN graph as ONE jittable function.
+
+This is the architecture translation at the heart of the rebuild (SURVEY.md
+§7): the reference splits inference across three Core ML models plus five
+custom CPU/Metal layers, crossing a device boundary 4+ times per image
+(SURVEY.md §3.1). On TPU the entire forward pass — preprocess, ResNet-FPN,
+RPN, proposal NMS, pyramid ROIAlign, classifier head, detection filtering,
+mask head, per-class mask select — is a single static-shape XLA program.
+
+Output contract matches the reference main model
+(`Conversion/task.py:69-92`): `detections` (B, max_detections, 6) rows
+(y1, x1, y2, x2, class_id, score) in normalized coordinates, zero-padded;
+`masks` (B, max_detections, mask_size, mask_size) — the detected class's
+sigmoid mask, selected the way `TimeDistributedMaskLayer.swift:71-83` copies
+the classId channel.
+
+Parameters are ONE flat dict keyed by Matterport layer names (backbone +
+FPN + RPN + heads share no names), mirroring the `weights.h5` layout.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from maskrcnn_tpu.core.config import MaskRCNNConfig
+from maskrcnn_tpu.models import fpn, heads, resnet, rpn
+from maskrcnn_tpu.ops.detection import refine_detections
+from maskrcnn_tpu.ops.proposals import generate_proposals
+from maskrcnn_tpu.ops.roi_align import pyramid_roi_align
+
+
+def init_mask_rcnn(key, config: MaskRCNNConfig) -> dict[str, Any]:
+    """Random-init the full parameter pytree (flat, Matterport-named)."""
+    k_bb, k_fpn, k_rpn, k_cls, k_mask = jax.random.split(key, 5)
+    params: dict[str, Any] = {}
+    params.update(resnet.init_resnet(k_bb, config.architecture))
+    params.update(fpn.init_fpn(k_fpn, config.fpn_channels))
+    params.update(rpn.init_rpn(
+        k_rpn, config.fpn_channels, config.anchors_per_location))
+    params.update(heads.init_classifier_head(
+        k_cls, config.num_classes, config.fpn_channels, config.pool_size,
+        config.head_fc_dim))
+    params.update(heads.init_mask_head(
+        k_mask, config.num_classes, config.fpn_channels))
+    return params
+
+
+def preprocess(images: jnp.ndarray, config: MaskRCNNConfig) -> jnp.ndarray:
+    """RGB [0,255] -> mean-subtracted float. Fused into the graph — the
+    reference baked the same biases into the Core ML model input
+    (`Conversion/task.py:73-75`)."""
+    mean = jnp.asarray(config.mean_pixel, jnp.float32)
+    return images.astype(jnp.float32) - mean
+
+
+def backbone_fpn(params, images, config: MaskRCNNConfig, dtype):
+    c2, c3, c4, c5 = resnet.apply_resnet(
+        params, images, config.architecture, dtype=dtype)
+    return fpn.apply_fpn(params, c2, c3, c4, c5, dtype=dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "with_features"))
+def forward(
+    params,
+    images: jnp.ndarray,
+    anchors: jnp.ndarray,
+    config: MaskRCNNConfig,
+    with_features: bool = False,
+):
+    """Raw (B, H, W, 3) RGB images -> detections + masks.
+
+    Args:
+      params: flat Matterport-named parameter dict.
+      images: (B, H, W, 3) RGB in [0, 255] (any float/int dtype), already
+        letterboxed to `config.input_image_shape`.
+      anchors: (A, 4) normalized anchor table (`core/anchors.generate_anchors`).
+      config: hashable static config.
+
+    Returns dict:
+      detections: (B, max_detections, 6) fp32 (y1,x1,y2,x2,class_id,score).
+      masks: (B, max_detections, mask_size, mask_size) fp32 in [0,1].
+      valid: (B, max_detections) bool.
+      rois / roi_valid: (B, max_proposals, 4) proposals (debug/training).
+      [rpn_logits, rpn_deltas, pyramid if with_features]
+    """
+    dtype = jnp.dtype(config.compute_dtype)
+    b = images.shape[0]
+    image_hw = (config.image_height, config.image_width)
+
+    x = preprocess(images, config)
+    pyramid = backbone_fpn(params, x, config, dtype)  # P2..P6
+    rpn_logits, rpn_deltas = rpn.apply_rpn(params, pyramid, dtype=dtype)
+    rpn_probs = jax.nn.softmax(rpn_logits, axis=-1)
+    fg_scores = rpn_probs[..., 1]  # (B, A)
+
+    propose = functools.partial(
+        generate_proposals,
+        bbox_std_dev=config.bbox_std_dev,
+        pre_nms_max_proposals=config.pre_nms_max_proposals,
+        max_proposals=config.max_proposals,
+        nms_threshold=config.proposal_nms_threshold)
+    rois, roi_valid = jax.vmap(propose, in_axes=(0, 0, None))(
+        fg_scores, rpn_deltas, anchors)  # (B, R, 4)
+
+    roi_feats = tuple(pyramid[:4])  # P2..P5 feed ROIAlign
+
+    align_cls = functools.partial(
+        pyramid_roi_align, crop_size=config.pool_size,
+        image_shape=image_hw, canonical_scale=config.roi_canonical_scale)
+    pooled = jax.vmap(lambda f, r: align_cls(f, r))(roi_feats, rois)
+    # (B, R, pool, pool, C) -> heads run dense over B*R
+
+    r = config.max_proposals
+    probs, deltas = heads.apply_classifier_head(
+        params, pooled.reshape((b * r,) + pooled.shape[2:]),
+        config.num_classes, dtype=dtype)
+    probs = probs.reshape(b, r, -1)
+    deltas = deltas.reshape(b, r, config.num_classes, 4)
+
+    refine = functools.partial(
+        refine_detections,
+        bbox_std_dev=config.bbox_std_dev,
+        score_threshold=config.detection_score_threshold,
+        nms_threshold=config.detection_nms_threshold,
+        max_detections=config.max_detections)
+    detections, det_valid, _ = jax.vmap(refine)(rois, probs, deltas)
+
+    det_boxes = detections[..., :4]  # (B, D, 4)
+    align_mask = functools.partial(
+        pyramid_roi_align, crop_size=config.mask_pool_size,
+        image_shape=image_hw, canonical_scale=config.roi_canonical_scale)
+    mask_pooled = jax.vmap(lambda f, r_: align_mask(f, r_))(
+        roi_feats, det_boxes)
+
+    d = config.max_detections
+    mask_all = heads.apply_mask_head(
+        params, mask_pooled.reshape((b * d,) + mask_pooled.shape[2:]),
+        dtype=dtype)  # (B*D, 2p, 2p, num_classes)
+    mask_all = mask_all.reshape(b, d, config.mask_size, config.mask_size,
+                                config.num_classes)
+
+    # Per-detection class channel select (TimeDistributedMaskLayer.swift:71-75)
+    class_ids = detections[..., 4].astype(jnp.int32)  # (B, D)
+    masks = jnp.take_along_axis(
+        mask_all, class_ids[:, :, None, None, None], axis=-1)[..., 0]
+    masks = masks * det_valid[:, :, None, None].astype(masks.dtype)
+
+    out = {
+        "detections": detections,
+        "masks": masks,
+        "valid": det_valid,
+        "rois": rois,
+        "roi_valid": roi_valid,
+    }
+    if with_features:
+        out.update(rpn_logits=rpn_logits, rpn_deltas=rpn_deltas,
+                   pyramid=pyramid)
+    return out

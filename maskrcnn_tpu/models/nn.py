@@ -1,0 +1,151 @@
+"""Minimal functional NN layer kit (conv / BN / dense) on jax.lax.
+
+Parameters live in plain nested dicts keyed by the Matterport Keras layer
+names (e.g. ``params["res2a_branch2a"]["kernel"]``): the weight *names* are
+the interchange contract with the reference's `weights.h5` artifact
+(SURVEY.md §7 step 3 — the conversion pipeline at
+`Sources/maskrcnn/Python/Conversion/task.py` consumed those same names via
+Keras). Kernels are stored HWIO, matching both Keras HDF5 layout and
+`lax.conv_general_dilated`'s NHWC/HWIO convention — weights load with no
+transposition.
+
+Mixed precision: parameters are stored float32; convolutions/matmuls run in
+the configured compute dtype (bfloat16 by default — the TPU-idiomatic
+equivalent of the reference's fp16 weight quantization,
+`Conversion/task.py:90,102,114`) with float32 MXU accumulation.
+BatchNorm is inference-mode affine (the reference graphs are frozen-BN, and
+Matterport trains with `train_bn=False`); its scale/shift math is float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict[str, Any]
+
+
+# ----------------------------------------------------------------------------
+# Initializers (used for random init / training-from-scratch; pretrained
+# weights overwrite these).
+# ----------------------------------------------------------------------------
+
+def _he_normal(key, shape):
+    fan_in = int(np.prod(shape[:-1]))
+    return jax.random.normal(key, shape, jnp.float32) * np.sqrt(2.0 / fan_in)
+
+
+def _glorot_uniform(key, shape):
+    fan_in = int(np.prod(shape[:-1]))
+    fan_out = int(shape[-1])
+    limit = np.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(
+        key, shape, jnp.float32, minval=-limit, maxval=limit)
+
+
+def conv_init(key, kh, kw, cin, cout) -> Params:
+    return {
+        "kernel": _he_normal(key, (kh, kw, cin, cout)),
+        "bias": jnp.zeros((cout,), jnp.float32),
+    }
+
+
+def dense_init(key, cin, cout) -> Params:
+    return {
+        "kernel": _glorot_uniform(key, (cin, cout)),
+        "bias": jnp.zeros((cout,), jnp.float32),
+    }
+
+
+def bn_init(c) -> Params:
+    return {
+        "gamma": jnp.ones((c,), jnp.float32),
+        "beta": jnp.zeros((c,), jnp.float32),
+        "moving_mean": jnp.zeros((c,), jnp.float32),
+        "moving_variance": jnp.ones((c,), jnp.float32),
+    }
+
+
+# ----------------------------------------------------------------------------
+# Layer application
+# ----------------------------------------------------------------------------
+
+def conv2d(x, p: Params, *, stride=1, padding="SAME", dtype=jnp.bfloat16):
+    """NHWC conv. `padding` is "SAME", "VALID", or explicit [(lo,hi),(lo,hi)]."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        p["kernel"].astype(dtype),
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = y + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def conv2d_transpose(x, p: Params, *, stride=2, dtype=jnp.bfloat16):
+    """Keras Conv2DTranspose, 'valid' padding, kernel == stride (the only
+    configuration the mask head uses: 2x2 stride-2 deconv, exact 2x upsample).
+
+    With kernel == stride the output blocks don't overlap, so the transpose
+    conv is exactly out[ki+di, kj+dj, o] = sum_c in[i,j,c] * K[di,dj,c,o] —
+    expressed as an einsum (a clean MXU matmul over the channel axis) instead
+    of `lax.conv_transpose`, whose lowering is both slower and pathologically
+    slow to compile on some backends.
+    """
+    kh, kw = p["kernel"].shape[:2]
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    assert (kh, kw) == tuple(stride), "deconv requires kernel == stride"
+    n, h, w, _ = x.shape
+    o = p["kernel"].shape[-1]
+    y = jnp.einsum(
+        "nhwc,pqco->nhpwqo",
+        x.astype(dtype), p["kernel"].astype(dtype),
+        preferred_element_type=jnp.float32)
+    y = y.reshape(n, h * kh, w * kw, o) + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def batch_norm(x, p: Params, *, eps=1e-3):
+    """Inference-mode BN (Keras BatchNormalization default eps=1e-3)."""
+    scale = p["gamma"] * jax.lax.rsqrt(p["moving_variance"] + eps)
+    shift = p["beta"] - p["moving_mean"] * scale
+    y = x.astype(jnp.float32) * scale + shift
+    return y.astype(x.dtype)
+
+
+def dense(x, p: Params, *, dtype=jnp.bfloat16):
+    y = jnp.dot(x.astype(dtype), p["kernel"].astype(dtype),
+                preferred_element_type=jnp.float32)
+    return y + p["bias"].astype(jnp.float32)
+
+
+def max_pool(x, window, stride, padding="SAME"):
+    if isinstance(window, int):
+        window = (window, window)
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    return jax.lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else x.dtype.type(0),
+        jax.lax.max,
+        window_dimensions=(1, *window, 1),
+        window_strides=(1, *stride, 1),
+        padding=padding)
+
+
+def upsample2x_nearest(x):
+    """UpSampling2D(2) — nearest-neighbor, matches Keras default interp."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+def relu(x):
+    return jnp.maximum(x, 0)

@@ -7,11 +7,20 @@ prescribes. Must run before the first `import jax`.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU. Setting the env var is NOT enough on machines where a
+# sitecustomize registers a tunneled TPU plugin and overwrites the
+# jax_platforms config after import — tests would silently run over the
+# tunnel (minutes-long remote compiles, TPU matmul numerics). Overriding the
+# config after import wins.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
