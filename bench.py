@@ -1,0 +1,102 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.md): images/sec/chip for ResNet-101-FPN Mask-RCNN
+at 1024x1024 on one TPU chip, end-to-end jitted forward (preprocess in-graph
+through detections + masks). `vs_baseline` is relative to the 100 img/s/chip
+target from BASELINE.json (the reference publishes no numbers of its own —
+SURVEY.md §6).
+
+Usage:
+  python bench.py                  # flagship r101 @ 1024², real TPU
+  python bench.py --preset tiny --platform cpu   # CI smoke
+  python bench.py --batch 8 --iters 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", choices=("full", "tiny"), default="full")
+    ap.add_argument("--platform", choices=("default", "cpu"),
+                    default="default")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="batch size (0 = auto per preset)")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maskrcnn_tpu.core.anchors import generate_anchors
+    from maskrcnn_tpu.core.config import MaskRCNNConfig, tiny_test_config
+    from maskrcnn_tpu.models.mask_rcnn import forward, init_mask_rcnn
+
+    if args.preset == "tiny":
+        config = tiny_test_config()
+        batch = args.batch or 2
+    else:
+        config = MaskRCNNConfig(architecture="resnet101")
+        batch = args.batch or 4
+
+    dev = jax.devices()[0]
+    print(f"# bench: {config.architecture} @ "
+          f"{config.image_height}x{config.image_width}, batch={batch}, "
+          f"device={dev.device_kind}", file=sys.stderr)
+
+    params = init_mask_rcnn(jax.random.PRNGKey(0), config)
+    anchors = jnp.asarray(generate_anchors(config))
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.uniform(0, 255, (batch, config.image_height,
+                             config.image_width, 3)).astype(np.float32))
+
+    def run():
+        out = forward(params, images, anchors, config)
+        jax.block_until_ready((out["detections"], out["masks"]))
+        return out
+
+    t0 = time.perf_counter()
+    run()
+    compile_s = time.perf_counter() - t0
+    print(f"# first call (compile+run): {compile_s:.1f}s", file=sys.stderr)
+
+    for _ in range(args.warmup):
+        run()
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+
+    med = sorted(times)[len(times) // 2]
+    img_per_s = batch / med
+    p50_ms = med / batch * 1000.0
+
+    print(f"# p50 step {med*1000:.2f} ms, {img_per_s:.2f} img/s, "
+          f"{p50_ms:.2f} ms/img", file=sys.stderr)
+
+    metric = (f"images_per_sec_per_chip_{config.architecture}_"
+              f"{config.image_height}")
+    print(json.dumps({
+        "metric": metric,
+        "value": round(img_per_s, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(img_per_s / 100.0, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

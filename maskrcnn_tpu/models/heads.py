@@ -42,9 +42,9 @@ def init_classifier_head(key, num_classes: int, in_channels: int = 256,
 
 
 def apply_classifier_head(params, pooled, num_classes: int,
-                          dtype=jnp.bfloat16):
+                          dtype=jnp.bfloat16, with_logits: bool = False):
     """(N, pool, pool, C) -> probs (N, num_classes) fp32,
-    deltas (N, num_classes, 4) fp32."""
+    deltas (N, num_classes, 4) fp32 [, logits fp32 for training losses]."""
     n = pooled.shape[0]
     x = nn.conv2d(pooled, params["mrcnn_class_conv1"], padding="VALID",
                   dtype=dtype)  # (N, 1, 1, fc)
@@ -53,10 +53,14 @@ def apply_classifier_head(params, pooled, num_classes: int,
     x = nn.relu(nn.batch_norm(x, params["mrcnn_class_bn2"]))
     shared = x.reshape(n, -1)  # (N, fc)
 
-    logits = nn.dense(shared, params["mrcnn_class_logits"], dtype=dtype)
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    logits = nn.dense(shared, params["mrcnn_class_logits"],
+                      dtype=dtype).astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
     deltas = nn.dense(shared, params["mrcnn_bbox_fc"], dtype=dtype)
-    return probs, deltas.astype(jnp.float32).reshape(n, num_classes, 4)
+    deltas = deltas.astype(jnp.float32).reshape(n, num_classes, 4)
+    if with_logits:
+        return probs, deltas, logits
+    return probs, deltas
 
 
 def init_mask_head(key, num_classes: int, in_channels: int = 256,

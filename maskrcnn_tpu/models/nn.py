@@ -83,9 +83,10 @@ def conv2d(x, p: Params, *, stride=1, padding="SAME", dtype=jnp.bfloat16):
         window_strides=stride,
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    y = y + p["bias"].astype(jnp.float32)
+    # bf16 convs still accumulate fp32 on the MXU; only the output is
+    # rounded. Keeping in/out dtypes equal keeps the VJP well-typed.
+    y = y + p["bias"].astype(y.dtype)
     return y.astype(dtype)
 
 
@@ -107,9 +108,8 @@ def conv2d_transpose(x, p: Params, *, stride=2, dtype=jnp.bfloat16):
     o = p["kernel"].shape[-1]
     y = jnp.einsum(
         "nhwc,pqco->nhpwqo",
-        x.astype(dtype), p["kernel"].astype(dtype),
-        preferred_element_type=jnp.float32)
-    y = y.reshape(n, h * kh, w * kw, o) + p["bias"].astype(jnp.float32)
+        x.astype(dtype), p["kernel"].astype(dtype))
+    y = y.reshape(n, h * kh, w * kw, o) + p["bias"].astype(y.dtype)
     return y.astype(dtype)
 
 
@@ -122,9 +122,8 @@ def batch_norm(x, p: Params, *, eps=1e-3):
 
 
 def dense(x, p: Params, *, dtype=jnp.bfloat16):
-    y = jnp.dot(x.astype(dtype), p["kernel"].astype(dtype),
-                preferred_element_type=jnp.float32)
-    return y + p["bias"].astype(jnp.float32)
+    y = jnp.dot(x.astype(dtype), p["kernel"].astype(dtype))
+    return y + p["bias"].astype(y.dtype)
 
 
 def max_pool(x, window, stride, padding="SAME"):

@@ -1,0 +1,158 @@
+"""User-facing detector: load → jit once → detect → unmold.
+
+The TPU equivalent of the reference's app-side flow (SURVEY.md §3.1):
+Vision request + Core ML evaluation + `Detection.detectionsFromFeatureValue`
+decoding (`Sources/Mask-RCNN-CoreML/Detection.swift:23-62`) collapses into a
+persistent jitted pipeline plus host-side unmolding of normalized outputs
+back to original-image pixel space (boxes and full-resolution masks).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from maskrcnn_tpu.core.anchors import generate_anchors
+from maskrcnn_tpu.core.config import MaskRCNNConfig
+from maskrcnn_tpu.models.mask_rcnn import forward, init_mask_rcnn
+from maskrcnn_tpu.pipeline.preprocess import (
+    LetterboxWindow, compute_window, letterbox_numpy)
+
+
+@dataclasses.dataclass
+class Detection:
+    """One decoded instance — the analog of the reference's `Detection`
+    struct (`Detection.swift:14-21`): pixel box in the ORIGINAL image frame,
+    class id, score, and (optionally) a full-size boolean mask."""
+    box: tuple[float, float, float, float]  # (y1, x1, y2, x2) pixels
+    class_id: int
+    score: float
+    mask: np.ndarray | None = None  # (orig_h, orig_w) bool, if pasted
+
+
+class MaskRCNNDetector:
+    """Persistent compiled pipeline over a fixed config.
+
+    Usage:
+        det = MaskRCNNDetector(config, params)      # or .from_checkpoint()
+        results = det.detect_images([img1, img2])   # list of list[Detection]
+    """
+
+    def __init__(self, config: MaskRCNNConfig, params: dict[str, Any],
+                 mask_threshold: float = 0.5):
+        self.config = config
+        self.params = params
+        self.mask_threshold = mask_threshold
+        self.anchors = jnp.asarray(generate_anchors(config))
+
+    @classmethod
+    def from_random(cls, config: MaskRCNNConfig, seed: int = 0):
+        return cls(config, init_mask_rcnn(jax.random.PRNGKey(seed), config))
+
+    @classmethod
+    def from_checkpoint(cls, config: MaskRCNNConfig, path: str):
+        from maskrcnn_tpu.io.weights import (
+            load_h5_weights, load_npz_checkpoint, merge_pretrained)
+        init = init_mask_rcnn(jax.random.PRNGKey(0), config)
+        loaded = (load_npz_checkpoint(path) if path.endswith(".npz")
+                  else load_h5_weights(path))
+        params, _, _ = merge_pretrained(init, loaded)
+        return cls(config, params)
+
+    # --- device step -------------------------------------------------------
+
+    def run_batch(self, images: np.ndarray | jnp.ndarray) -> dict[str, Any]:
+        """(B, S, S, 3) RGB [0,255] letterboxed batch -> raw padded outputs
+        (normalized coords, on device)."""
+        return forward(self.params, jnp.asarray(images), self.anchors,
+                       self.config)
+
+    # --- host decode -------------------------------------------------------
+
+    def detect_images(self, images: Sequence[np.ndarray],
+                      paste_masks: bool = True) -> list[list[Detection]]:
+        """Arbitrary-size RGB uint8 images -> per-image decoded detections."""
+        size = self.config.image_height
+        canvases, windows = [], []
+        for img in images:
+            canvas, win = letterbox_numpy(img, size)
+            canvases.append(canvas)
+            windows.append(win)
+        out = self.run_batch(np.stack(canvases))
+        det = np.asarray(out["detections"])
+        masks = np.asarray(out["masks"])
+        valid = np.asarray(out["valid"])
+        return [
+            self.unmold(det[i], masks[i], valid[i], windows[i],
+                        paste_masks=paste_masks)
+            for i in range(len(images))
+        ]
+
+    def unmold(self, detections: np.ndarray, masks: np.ndarray,
+               valid: np.ndarray, win: LetterboxWindow,
+               paste_masks: bool = True) -> list[Detection]:
+        """Map padded normalized outputs back to original image space.
+
+        Inverse of the letterbox: normalized canvas coords -> canvas pixels
+        -> minus window offset -> divided by scale. Masks follow the
+        reference's decode path semantics (`Detection.swift:83-98` produces a
+        28x28 image scaled into the box) but paste at full resolution with a
+        0.5 threshold, which is what the Matterport/TF oracle does.
+        """
+        size = self.config.image_height
+        s = size - 1
+        results: list[Detection] = []
+        for row, mask, ok in zip(detections, masks, valid):
+            if not ok:
+                continue
+            y1, x1, y2, x2, class_id, score = row
+            # normalized -> canvas pixels (Matterport denorm convention)
+            cy1, cx1 = y1 * s, x1 * s
+            cy2, cx2 = y2 * s + 1, x2 * s + 1
+            # canvas -> original image pixels
+            oy1 = (cy1 - win.y1) / win.scale
+            ox1 = (cx1 - win.x1) / win.scale
+            oy2 = (cy2 - win.y1) / win.scale
+            ox2 = (cx2 - win.x1) / win.scale
+            oy1 = float(np.clip(oy1, 0, win.orig_height))
+            oy2 = float(np.clip(oy2, 0, win.orig_height))
+            ox1 = float(np.clip(ox1, 0, win.orig_width))
+            ox2 = float(np.clip(ox2, 0, win.orig_width))
+            full = None
+            if paste_masks:
+                full = paste_mask(mask, (oy1, ox1, oy2, ox2),
+                                  (win.orig_height, win.orig_width),
+                                  self.mask_threshold)
+            results.append(Detection(
+                box=(oy1, ox1, oy2, ox2),
+                class_id=int(class_id), score=float(score), mask=full))
+        return results
+
+
+def paste_mask(mask: np.ndarray, box, image_shape, threshold: float = 0.5
+               ) -> np.ndarray:
+    """Scale a (m, m) soft mask into its box and paste into a full-size
+    boolean canvas (Matterport `unmold_mask` semantics)."""
+    from PIL import Image
+
+    oy1, ox1, oy2, ox2 = box
+    h = max(int(round(oy2)) - int(round(oy1)), 1)
+    w = max(int(round(ox2)) - int(round(ox1)), 1)
+    y0, x0 = int(round(oy1)), int(round(ox1))
+
+    resized = Image.fromarray((mask * 255).astype(np.uint8)).resize(
+        (w, h), Image.BILINEAR)
+    resized = np.asarray(resized, np.float32) / 255.0
+
+    canvas = np.zeros(image_shape, bool)
+    yy1, xx1 = max(y0, 0), max(x0, 0)
+    yy2 = min(y0 + h, image_shape[0])
+    xx2 = min(x0 + w, image_shape[1])
+    canvas[yy1:yy2, xx1:xx2] = (
+        resized[yy1 - y0:yy2 - y0, xx1 - x0:xx2 - x0] >= threshold)
+    return canvas

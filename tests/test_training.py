@@ -1,0 +1,146 @@
+"""Training subsystem: target assignment oracles, losses, overfit smoke."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from maskrcnn_tpu.core.anchors import generate_anchors
+from maskrcnn_tpu.core.config import tiny_test_config
+from maskrcnn_tpu.models.mask_rcnn import init_mask_rcnn
+from maskrcnn_tpu.train import losses as L
+from maskrcnn_tpu.train.step import (
+    compute_losses, make_train_state, train_step)
+from maskrcnn_tpu.train.targets import (
+    encode_box_deltas, proposal_targets, rpn_targets)
+from maskrcnn_tpu.ops.boxes import apply_box_deltas
+
+
+def make_gt(rng, g=4, num_classes=5, m=28):
+    yx1 = rng.uniform(0, 0.6, (g, 2))
+    wh = rng.uniform(0.1, 0.3, (g, 2))
+    boxes = np.concatenate([yx1, yx1 + wh], -1).astype(np.float32)
+    classes = rng.integers(1, num_classes, (g,)).astype(np.int32)
+    masks = (rng.random((g, m, m)) > 0.4).astype(np.float32)
+    return boxes, classes, masks
+
+
+def test_encode_decode_roundtrip(rng):
+    boxes = np.concatenate([rng.uniform(0, .5, (32, 2)),
+                            rng.uniform(.5, 1., (32, 2))], 1).astype(np.float32)
+    gt = np.concatenate([rng.uniform(0, .5, (32, 2)),
+                         rng.uniform(.5, 1., (32, 2))], 1).astype(np.float32)
+    d = encode_box_deltas(jnp.asarray(boxes), jnp.asarray(gt))
+    rec = apply_box_deltas(jnp.asarray(boxes), d)
+    np.testing.assert_allclose(np.asarray(rec), gt, rtol=1e-4, atol=1e-5)
+
+
+def test_rpn_targets_sanity(rng):
+    cfg = tiny_test_config()
+    anchors = jnp.asarray(generate_anchors(cfg))
+    boxes, classes, _ = make_gt(rng)
+    t = rpn_targets(anchors, jnp.asarray(boxes),
+                    jnp.asarray(classes > 0), jax.random.PRNGKey(0),
+                    train_anchors=cfg.rpn_train_anchors_per_image)
+    labels = np.asarray(t.labels)
+    n_pos = (labels == 1).sum()
+    n_neg = (labels == -1).sum()
+    assert n_pos >= 1, "every GT must have at least one positive anchor"
+    assert n_pos <= cfg.rpn_train_anchors_per_image // 2
+    assert n_pos + n_neg <= cfg.rpn_train_anchors_per_image
+    # positive anchors decode onto their GT within tolerance
+    pos_idx = np.where(labels == 1)[0][:8]
+    std = jnp.asarray(cfg.bbox_std_dev)
+    rec = apply_box_deltas(anchors[pos_idx],
+                           t.deltas[pos_idx] * std)
+    from maskrcnn_tpu.ops.boxes import box_iou
+    iou = np.asarray(box_iou(rec, jnp.asarray(boxes))).max(1)
+    assert (iou > 0.99).all()
+
+
+def test_proposal_targets_sanity(rng):
+    cfg = tiny_test_config()
+    boxes, classes, masks = make_gt(rng, num_classes=cfg.num_classes)
+    # proposals: jittered copies of gt (positives) + far boxes (negatives)
+    jitter = boxes + rng.normal(0, 0.01, boxes.shape).astype(np.float32)
+    far = np.concatenate([rng.uniform(0.8, 0.9, (20, 2)),
+                          rng.uniform(0.9, 1.0, (20, 2))], 1).astype(np.float32)
+    props = np.concatenate([jitter, far]).astype(np.float32)
+    valid = np.ones(len(props), bool)
+
+    t = proposal_targets(
+        jnp.asarray(props), jnp.asarray(valid), jnp.asarray(boxes),
+        jnp.asarray(classes), jnp.asarray(masks), jax.random.PRNGKey(1),
+        num_rois=16, positive_fraction=0.33, mask_size=28)
+    cls = np.asarray(t.class_ids)
+    pos = np.asarray(t.positive)
+    assert pos.sum() >= len(boxes)  # all jittered gts are positives
+    assert (cls[pos] > 0).all()
+    assert (cls[~pos] == 0).all()
+    # mask targets only for positives, binary
+    m = np.asarray(t.masks)
+    assert set(np.unique(m)).issubset({0.0, 1.0})
+    assert (m[~pos] == 0).all()
+
+
+def test_losses_perfect_prediction_zero(rng):
+    # class loss ~0 when logits point at the target.
+    cls = jnp.asarray(rng.integers(0, 5, (16,)), jnp.int32)
+    logits = jax.nn.one_hot(cls, 5) * 100.0
+    assert float(L.mrcnn_class_loss(logits, cls, jnp.ones(16, bool))) < 1e-3
+    # bbox loss 0 when prediction equals target at the class channel
+    tgt = jnp.asarray(rng.normal(0, 1, (16, 4)), jnp.float32)
+    pred = jnp.zeros((16, 5, 4)).at[jnp.arange(16), cls].set(tgt)
+    assert float(L.mrcnn_bbox_loss(pred, tgt, cls)) < 1e-6
+    # rpn class loss ignores neutral anchors
+    labels = jnp.asarray([1, -1, 0, 0], jnp.int32)
+    lg = jnp.asarray([[0., 10.], [10., 0.], [0., 0.], [5., 5.]])
+    assert float(L.rpn_class_loss(lg, labels)) < 1e-3
+
+
+def test_train_step_reduces_loss(rng):
+    cfg = tiny_test_config()
+    params = init_mask_rcnn(jax.random.PRNGKey(0), cfg)
+    anchors = jnp.asarray(generate_anchors(cfg))
+    boxes, classes, masks = make_gt(rng, num_classes=cfg.num_classes)
+    batch = {
+        "images": jnp.asarray(
+            rng.uniform(0, 255, (1, 128, 128, 3)), jnp.float32),
+        "gt_boxes": jnp.asarray(boxes)[None],
+        "gt_class_ids": jnp.asarray(classes)[None],
+        "gt_masks": jnp.asarray(masks)[None],
+    }
+    state, tx_and_mask = make_train_state(params, cfg)
+    key = jax.random.PRNGKey(42)
+    losses = []
+    for i in range(6):
+        state, metrics = train_step(
+            state, batch, anchors, key, cfg, tx_and_mask)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all(), losses
+    # overfitting a single fixed batch+key must reduce the loss
+    assert losses[-1] < losses[0], losses
+
+
+def test_freeze_heads_only(rng):
+    cfg = tiny_test_config()
+    params = init_mask_rcnn(jax.random.PRNGKey(0), cfg)
+    anchors = jnp.asarray(generate_anchors(cfg))
+    boxes, classes, masks = make_gt(rng, num_classes=cfg.num_classes)
+    batch = {
+        "images": jnp.asarray(
+            rng.uniform(0, 255, (1, 128, 128, 3)), jnp.float32),
+        "gt_boxes": jnp.asarray(boxes)[None],
+        "gt_class_ids": jnp.asarray(classes)[None],
+        "gt_masks": jnp.asarray(masks)[None],
+    }
+    state, tx_and_mask = make_train_state(params, cfg, trainable="heads")
+    new_state, _ = train_step(
+        state, batch, anchors, jax.random.PRNGKey(7), cfg, tx_and_mask)
+    # backbone untouched, heads updated
+    np.testing.assert_array_equal(
+        np.asarray(state.params["conv1"]["kernel"]),
+        np.asarray(new_state.params["conv1"]["kernel"]))
+    assert not np.array_equal(
+        np.asarray(state.params["rpn_conv_shared"]["kernel"]),
+        np.asarray(new_state.params["rpn_conv_shared"]["kernel"]))
