@@ -1,0 +1,383 @@
+"""`maskrcnn_tpu` command-line interface.
+
+Mirrors the reference CLI surface (`Sources/maskrcnn/main.swift:4`:
+`maskrcnn {convert|evaluate|train|download}`) with the same subcommands plus
+`demo` and `bench`, minus all the Docker machinery — conversion and COCO
+scoring run in-process (SURVEY.md §7 step 7).
+
+    python -m maskrcnn_tpu.cli convert  <name> [--config ... --weights ...]
+    python -m maskrcnn_tpu.cli evaluate <model> <dataset> [--limit 5 ...]
+    python -m maskrcnn_tpu.cli train    <model> [--steps ...]
+    python -m maskrcnn_tpu.cli download <name>
+    python -m maskrcnn_tpu.cli demo     <model> <image> [-o out.png]
+
+Artifacts live under `.maskrcnn/models/<name>/` like the reference's
+workspace layout (`README.md:105-116`): inputs `config.json` + `weights.h5`,
+outputs in `products/` (checkpoint.npz + anchors.bin + config.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _workspace(name: str) -> str:
+    return os.path.join(os.environ.get("MASKRCNN_HOME", ".maskrcnn"),
+                        "models", name)
+
+
+def _load_config(path: str | None, name: str):
+    from maskrcnn_tpu.core.config import MaskRCNNConfig
+
+    if path is None:
+        path = os.path.join(_workspace(name), "config.json")
+    if os.path.exists(path):
+        return MaskRCNNConfig.from_json(path)
+    print(f"# no config at {path}; using defaults (resnet101, 1024², 81 "
+          "classes)", file=sys.stderr)
+    return MaskRCNNConfig()
+
+
+def _build_detector(name: str, config_path, weights_path, products_dir=None):
+    import jax
+
+    from maskrcnn_tpu.pipeline.detector import MaskRCNNDetector
+
+    config = _load_config(config_path, name)
+    products = products_dir or os.path.join(_workspace(name), "products")
+    ckpt = os.path.join(products, "checkpoint.npz")
+    if weights_path is None:
+        if os.path.exists(ckpt):
+            weights_path = ckpt
+        else:
+            h5 = os.path.join(_workspace(name), "weights.h5")
+            weights_path = h5 if os.path.exists(h5) else None
+    if weights_path is None:
+        print("# WARNING: no weights found — using random init",
+              file=sys.stderr)
+        return MaskRCNNDetector.from_random(config), config
+    print(f"# loading weights: {weights_path}", file=sys.stderr)
+    return MaskRCNNDetector.from_checkpoint(config, weights_path), config
+
+
+# ---------------------------------------------------------------------------
+# convert
+# ---------------------------------------------------------------------------
+
+def cmd_convert(args) -> int:
+    import jax
+    import numpy as np
+
+    from maskrcnn_tpu.core.anchors import generate_anchors, save_anchors_bin
+    from maskrcnn_tpu.io.weights import (
+        load_h5_weights, merge_pretrained, save_npz_checkpoint)
+    from maskrcnn_tpu.models.mask_rcnn import init_mask_rcnn
+
+    config = _load_config(args.config, args.name)
+    weights = args.weights or os.path.join(_workspace(args.name),
+                                           "weights.h5")
+    out_dir = args.output_dir or os.path.join(_workspace(args.name),
+                                              "products")
+    os.makedirs(out_dir, exist_ok=True)
+
+    init = init_mask_rcnn(jax.random.PRNGKey(0), config)
+    t0 = time.time()
+    loaded = load_h5_weights(weights)
+    params, missing, unused = merge_pretrained(
+        init, loaded, strict=not args.allow_missing)
+    print(f"# loaded {len(loaded)} layers in {time.time()-t0:.1f}s "
+          f"({len(unused)} unused, {len(missing)} missing)", file=sys.stderr)
+
+    save_npz_checkpoint(params, os.path.join(out_dir, "checkpoint.npz"))
+    anchors = generate_anchors(config)
+    save_anchors_bin(anchors, os.path.join(out_dir, "anchors.bin"))
+    config.to_json(os.path.join(out_dir, "config.json"))
+    print(f"products written to {out_dir}: checkpoint.npz, anchors.bin "
+          f"({anchors.shape[0]} anchors), config.json")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# evaluate
+# ---------------------------------------------------------------------------
+
+def cmd_evaluate(args) -> int:
+    import numpy as np
+    from PIL import Image
+
+    from maskrcnn_tpu.evalkit.coco import COCODataset
+    from maskrcnn_tpu.evalkit.cocoeval import COCOEvaluator
+    from maskrcnn_tpu.evalkit.results import (
+        build_results_proto, detections_to_coco_results, load_coco_results,
+        save_coco_results, save_results_proto)
+
+    detector, config = _build_detector(args.model, args.config, args.weights,
+                                       args.products_dir)
+    ann_dir = args.annotations_dir or os.path.join("data", args.dataset)
+    dataset = COCODataset.from_dir(ann_dir, args.type, args.year)
+    images_dir = args.images_dir or os.path.join(
+        "data", args.dataset, f"{args.type}{args.year}")
+
+    rows = []
+    per_image = {}
+    times = []
+    n = 0
+    eval_ids = []
+    # The reference hardcodes the first 5 images sorted by id
+    # (EvaluateCommand.swift:165); --limit makes that configurable.
+    for im in dataset.iter_images(limit=args.limit, sort_by_id=True):
+        path = os.path.join(images_dir, im.file_name)
+        if not os.path.exists(path):
+            print(f"# skipping {im.id}: {path} not found", file=sys.stderr)
+            continue
+        img = np.asarray(Image.open(path).convert("RGB"))
+        t0 = time.time()
+        dets = detector.detect_images([img])[0]
+        dt = time.time() - t0
+        times.append(dt)
+        # per-image wall time, like EvaluateCommand.swift:167,179,193
+        print(f"image {im.id}: {len(dets)} detections in {dt*1000:.1f} ms",
+              file=sys.stderr)
+        rows.extend(detections_to_coco_results(im.id, dets, dataset))
+        per_image[im.id] = dets
+        eval_ids.append(im.id)
+        n += 1
+    if n == 0:
+        print("no images evaluated (missing files?)", file=sys.stderr)
+        return 1
+
+    os.makedirs(args.results_dir, exist_ok=True)
+    save_coco_results(rows, os.path.join(args.results_dir, "results.json"))
+    save_results_proto(build_results_proto(per_image, dataset),
+                       os.path.join(args.results_dir, "results.pb"))
+    print(f"# {n} images, median {np.median(times)*1000:.1f} ms/img",
+          file=sys.stderr)
+
+    for iou_type in ("bbox", "segm"):
+        print(f"== {iou_type} ==")
+        COCOEvaluator(dataset, rows, iou_type,
+                      img_ids=eval_ids).summarize()
+
+    if args.compare:
+        print(f"== comparison results: {args.compare} ==")
+        other = load_coco_results(args.compare)
+        for iou_type in ("bbox", "segm"):
+            has_segm = any("segmentation" in r for r in other)
+            if iou_type == "segm" and not has_segm:
+                continue
+            print(f"== {iou_type} (compare) ==")
+            COCOEvaluator(dataset, other, iou_type,
+                          img_ids=eval_ids).summarize()
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# train
+# ---------------------------------------------------------------------------
+
+def cmd_train(args) -> int:
+    """Real training loop (the reference's TrainCommand is a 'Coming soon'
+    stub — TrainCommand.swift:10-14). Trains on a COCO-format dataset dir,
+    or --synthetic for a self-contained overfit demo."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maskrcnn_tpu.core.anchors import generate_anchors
+    from maskrcnn_tpu.io.weights import save_npz_checkpoint
+    from maskrcnn_tpu.models.mask_rcnn import init_mask_rcnn
+    from maskrcnn_tpu.train.step import make_train_state, train_step
+
+    config = _load_config(args.config, args.model)
+    if args.synthetic:
+        config = config.replace(
+            architecture="resnet50",
+            input_image_shape=(args.image_size, args.image_size, 3),
+            num_classes=5,
+            anchor_scales=tuple(args.image_size / 16 * s
+                                for s in (1, 2, 4, 8, 16)),
+            pre_nms_max_proposals=256, max_proposals=64, max_detections=16,
+            train_rois_per_image=32, rpn_train_anchors_per_image=64)
+
+    params = init_mask_rcnn(jax.random.PRNGKey(args.seed), config)
+    anchors = jnp.asarray(generate_anchors(config))
+    state, tx_and_mask = make_train_state(params, config,
+                                          trainable=args.trainable)
+
+    if args.synthetic:
+        rng = np.random.default_rng(args.seed)
+        g, m = 4, config.mask_size
+        yx1 = rng.uniform(0, 0.6, (args.batch, g, 2))
+        wh = rng.uniform(0.1, 0.3, (args.batch, g, 2))
+        batch = {
+            "images": jnp.asarray(rng.uniform(
+                0, 255, (args.batch, config.image_height,
+                         config.image_width, 3)), jnp.float32),
+            "gt_boxes": jnp.asarray(
+                np.concatenate([yx1, yx1 + wh], -1), jnp.float32),
+            "gt_class_ids": jnp.asarray(rng.integers(
+                1, config.num_classes, (args.batch, g)), jnp.int32),
+            "gt_masks": jnp.asarray(
+                (rng.random((args.batch, g, m, m)) > 0.5), jnp.float32),
+        }
+        loader = lambda step: batch  # noqa: E731 — fixed-batch overfit demo
+    else:
+        from maskrcnn_tpu.train.data import COCOTrainLoader
+        loader_obj = COCOTrainLoader(
+            args.annotations, args.images_dir, config,
+            batch_size=args.batch, seed=args.seed)
+        loader = loader_obj.get_batch
+
+    key = jax.random.PRNGKey(args.seed + 1)
+    t0 = time.time()
+    for step in range(args.steps):
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(
+            state, loader(step), anchors, sub, config, tx_and_mask)
+        if step % args.log_every == 0 or step == args.steps - 1:
+            m_ = {k: round(float(v), 4) for k, v in metrics.items()}
+            print(f"step {step:5d}  {m_}  ({time.time()-t0:.1f}s)")
+    if args.output:
+        save_npz_checkpoint(state.params, args.output)
+        print(f"checkpoint saved: {args.output}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# download
+# ---------------------------------------------------------------------------
+
+def cmd_download(args) -> int:
+    """Fetch pretrained artifacts, like DownloadCommand.swift:5-51 (which
+    pulls from the project's GitHub release tag). Zero-egress environments
+    get a clear failure instead of a hang."""
+    import urllib.error
+    import urllib.request
+
+    dest = os.path.join(_workspace(args.name))
+    os.makedirs(dest, exist_ok=True)
+    url = args.url or ("https://github.com/matterport/Mask_RCNN/releases/"
+                       "download/v2.0/mask_rcnn_coco.h5")
+    out = os.path.join(dest, "weights.h5")
+    print(f"downloading {url} -> {out}")
+    try:
+        with urllib.request.urlopen(url, timeout=args.timeout) as r, \
+                open(out + ".part", "wb") as f:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+        os.replace(out + ".part", out)
+        print("done")
+        return 0
+    except (urllib.error.URLError, OSError, TimeoutError) as e:
+        print(f"download failed ({e}); this environment may have no network "
+              f"egress. Place weights.h5 under {dest}/ manually.",
+              file=sys.stderr)
+        return 1
+
+
+# ---------------------------------------------------------------------------
+# demo
+# ---------------------------------------------------------------------------
+
+def cmd_demo(args) -> int:
+    import numpy as np
+    from PIL import Image
+
+    from maskrcnn_tpu.utils.render import render_detections
+
+    detector, config = _build_detector(args.model, args.config, args.weights,
+                                       None)
+    img = np.asarray(Image.open(args.image).convert("RGB"))
+    t0 = time.time()
+    dets = detector.detect_images([img])[0]
+    print(f"{len(dets)} detections in {(time.time()-t0)*1000:.0f} ms "
+          "(includes compile on first call)")
+    for d in dets:
+        print(f"  class {d.class_id}  score {d.score:.3f}  box "
+              f"({d.box[0]:.0f},{d.box[1]:.0f},{d.box[2]:.0f},{d.box[3]:.0f})")
+    out = args.output or "detections.png"
+    rendered = render_detections(img, dets)
+    Image.fromarray(rendered).save(out)
+    print(f"rendered: {out}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="maskrcnn_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    c = sub.add_parser("convert", help="weights.h5 -> products/ artifacts")
+    c.add_argument("name")
+    c.add_argument("--config")
+    c.add_argument("--weights")
+    c.add_argument("--output_dir")
+    c.add_argument("--allow-missing", action="store_true")
+    c.set_defaults(fn=cmd_convert)
+
+    e = sub.add_parser("evaluate", help="COCO evaluation (bbox + mask AP)")
+    e.add_argument("model")
+    e.add_argument("dataset")
+    e.add_argument("--year", default="2017")
+    e.add_argument("--type", default="val")
+    e.add_argument("--limit", type=int, default=5,
+                   help="images to evaluate (reference hardcodes 5)")
+    e.add_argument("--config")
+    e.add_argument("--weights")
+    e.add_argument("--products_dir")
+    e.add_argument("--annotations_dir")
+    e.add_argument("--images_dir")
+    e.add_argument("--results_dir", default=".maskrcnn/tmp")
+    e.add_argument("-c", "--compare", metavar="RESULTS_JSON",
+                   help="also score an oracle results file side-by-side")
+    e.set_defaults(fn=cmd_evaluate)
+
+    t = sub.add_parser("train", help="train (real, not a stub)")
+    t.add_argument("model")
+    t.add_argument("--config")
+    t.add_argument("--annotations")
+    t.add_argument("--images_dir")
+    t.add_argument("--synthetic", action="store_true",
+                   help="self-contained overfit demo, no dataset needed")
+    t.add_argument("--steps", type=int, default=20)
+    t.add_argument("--batch", type=int, default=2)
+    t.add_argument("--image-size", type=int, default=128)
+    t.add_argument("--trainable", default="all",
+                   help="all|heads|3+|4+|5+ or a layer-name regex")
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--log-every", type=int, default=5)
+    t.add_argument("--output", help="write final checkpoint.npz here")
+    t.set_defaults(fn=cmd_train)
+
+    d = sub.add_parser("download", help="fetch pretrained weights")
+    d.add_argument("name")
+    d.add_argument("--url")
+    d.add_argument("--timeout", type=float, default=30.0)
+    d.set_defaults(fn=cmd_download)
+
+    m = sub.add_parser("demo", help="detect + render one image")
+    m.add_argument("model")
+    m.add_argument("image")
+    m.add_argument("-o", "--output")
+    m.add_argument("--config")
+    m.add_argument("--weights")
+    m.set_defaults(fn=cmd_demo)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

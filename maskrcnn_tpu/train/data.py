@@ -1,0 +1,109 @@
+"""COCO training data loader: images + padded GT batches.
+
+Host-side analog of the preprocessing the reference's comparison path does
+inside `Mask-RCNN-Keras` (`COCOEval/task.py:99-105` calls
+`coco_dataset.preprocess(...)`): letterbox the image to the square network
+input, transform GT boxes into normalized canvas coordinates, and convert
+instance segmentations into fixed-size box-relative mini-masks. Everything
+is padded to `max_instances` so batches are static-shape for jit.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from maskrcnn_tpu.core.config import MaskRCNNConfig
+from maskrcnn_tpu.evalkit import mask_rle as M
+from maskrcnn_tpu.evalkit.coco import COCODataset
+from maskrcnn_tpu.pipeline.preprocess import letterbox_numpy
+
+
+def minimask_from_annotation(ann, image_h: int, image_w: int,
+                             mask_size: int) -> np.ndarray:
+    """COCO segmentation -> (mask_size, mask_size) box-relative mini-mask."""
+    from PIL import Image
+
+    rle = M.from_coco_segmentation(ann["segmentation"], image_h, image_w)
+    full = M.decode(rle)
+    x, y, w, h = [int(round(v)) for v in ann["bbox"]]
+    x2 = min(x + max(w, 1), image_w)
+    y2 = min(y + max(h, 1), image_h)
+    x, y = max(x, 0), max(y, 0)
+    crop = full[y:y2, x:x2]
+    if crop.size == 0:
+        return np.zeros((mask_size, mask_size), np.float32)
+    resized = Image.fromarray(crop * 255).resize(
+        (mask_size, mask_size), Image.BILINEAR)
+    return (np.asarray(resized, np.float32) / 255.0 >= 0.5).astype(np.float32)
+
+
+class COCOTrainLoader:
+    """Random-order batch provider over a COCO-format dataset directory."""
+
+    def __init__(self, annotations_path: str, images_dir: str,
+                 config: MaskRCNNConfig, batch_size: int = 2,
+                 max_instances: int = 32, seed: int = 0):
+        self.dataset = COCODataset.from_file(annotations_path)
+        self.images_dir = images_dir
+        self.config = config
+        self.batch_size = batch_size
+        self.max_instances = max_instances
+        self.rng = np.random.default_rng(seed)
+        self.image_ids = [
+            im.id for im in self.dataset.iter_images()
+            if self.dataset.annotations_for(im.id)]
+        if not self.image_ids:
+            raise ValueError("dataset has no annotated images")
+
+    def load_example(self, image_id: int):
+        from PIL import Image
+
+        im = self.dataset.images[image_id]
+        path = os.path.join(self.images_dir, im.file_name)
+        img = np.asarray(Image.open(path).convert("RGB"))
+        size = self.config.image_height
+        canvas, win = letterbox_numpy(img, size)
+
+        g = self.max_instances
+        boxes = np.zeros((g, 4), np.float32)
+        classes = np.zeros((g,), np.int32)
+        masks = np.zeros((g, self.config.mask_size, self.config.mask_size),
+                         np.float32)
+        s = size - 1
+        anns = self.dataset.annotations_for(image_id)[:g]
+        for i, ann in enumerate(anns):
+            if ann.get("iscrowd", 0):
+                continue
+            x, y, w, h = ann["bbox"]
+            # original pixels -> canvas pixels -> normalized (Matterport
+            # norm convention, matching core/anchors.norm_boxes)
+            cy1 = y * win.scale + win.y1
+            cx1 = x * win.scale + win.x1
+            cy2 = (y + h) * win.scale + win.y1
+            cx2 = (x + w) * win.scale + win.x1
+            boxes[i] = [cy1 / s, cx1 / s, (cy2 - 1) / s, (cx2 - 1) / s]
+            classes[i] = self.dataset.class_id_for_category(
+                ann["category_id"])
+            if "segmentation" in ann:
+                masks[i] = minimask_from_annotation(
+                    ann, im.height, im.width, self.config.mask_size)
+        return canvas, boxes, classes, masks
+
+    def get_batch(self, step: int | None = None) -> dict[str, np.ndarray]:
+        ids = self.rng.choice(self.image_ids, self.batch_size,
+                              replace=len(self.image_ids) < self.batch_size)
+        images, boxes, classes, masks = [], [], [], []
+        for i in ids:
+            c, b, cl, m = self.load_example(int(i))
+            images.append(c)
+            boxes.append(b)
+            classes.append(cl)
+            masks.append(m)
+        return {
+            "images": np.stack(images),
+            "gt_boxes": np.stack(boxes),
+            "gt_class_ids": np.stack(classes),
+            "gt_masks": np.stack(masks),
+        }
