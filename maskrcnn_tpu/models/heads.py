@@ -46,8 +46,15 @@ def apply_classifier_head(params, pooled, num_classes: int,
     """(N, pool, pool, C) -> probs (N, num_classes) fp32,
     deltas (N, num_classes, 4) fp32 [, logits fp32 for training losses]."""
     n = pooled.shape[0]
-    x = nn.conv2d(pooled, params["mrcnn_class_conv1"], padding="VALID",
-                  dtype=dtype)  # (N, 1, 1, fc)
+    # The pool x pool VALID conv consumes the whole window: express it as one
+    # (N, p*p*C) @ (p*p*C, fc) matmul — identical math (HWIO kernel reshape
+    # matches the row-major activation reshape), much better MXU tiling than
+    # a 7x7 conv at 1x1 output.
+    k1 = params["mrcnn_class_conv1"]
+    flat_k = k1["kernel"].reshape(-1, k1["kernel"].shape[-1])
+    x = nn.dense(pooled.reshape(n, -1), {"kernel": flat_k, "bias": k1["bias"]},
+                 dtype=dtype)
+    x = x.astype(jnp.dtype(dtype))[:, None, None, :]  # (N, 1, 1, fc)
     x = nn.relu(nn.batch_norm(x, params["mrcnn_class_bn1"]))
     x = nn.conv2d(x, params["mrcnn_class_conv2"], padding="VALID", dtype=dtype)
     x = nn.relu(nn.batch_norm(x, params["mrcnn_class_bn2"]))

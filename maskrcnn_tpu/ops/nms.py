@@ -78,19 +78,25 @@ def nms_padded(
     np_ = n + pad
     num_tiles = np_ // tile_size
 
-    def process_tile(keep, t):
+    # Cross-tile suppression uses a COMPACT buffer of the first `max_out`
+    # kept boxes instead of the keep-masked full array: selection stops at
+    # max_out anyway (Utils.swift:192), and keepers past that cap can only
+    # suppress boxes that rank after the cap themselves, so dropping them
+    # cannot change the first max_out selections. This turns the per-tile
+    # IoU from (N, B) into (max_out, B).
+    buf_cap = min(max_out, np_)
+
+    def process_tile(carry, t):
+        keep, buf, cnt = carry
         start = t * tile_size
         tile = jax.lax.dynamic_slice(boxes, (start, 0), (tile_size, 4))
         tile_cand = jax.lax.dynamic_slice(cand_all, (start,), (tile_size,))
 
-        # (a) cross-tile suppression by already-kept earlier boxes. `keep` is
-        # False everywhere at/after this tile, so masking the global box array
-        # by `keep` zeroes exactly the non-suppressors (zero box -> IoU 0).
-        kept_boxes = boxes * keep[:, None].astype(boxes.dtype)
-        cross_iou = box_iou(kept_boxes, tile)  # (Np, B)
+        # (a) suppression by earlier kept boxes (zero rows in buf are inert).
+        cross_iou = box_iou(buf, tile)  # (buf_cap, B)
         sup_cross = jnp.any(cross_iou > iou_threshold, axis=0)
 
-        # (b) within-tile sequential resolution.
+        # (b) within-tile sequential resolution (fixpoint == greedy).
         iou_self = box_iou(tile, tile)
         over = iou_self > iou_threshold
         cand = tile_cand & ~sup_cross
@@ -110,11 +116,18 @@ def nms_padded(
             lambda s: s[1], body, (cand, jnp.bool_(True)))
 
         keep = jax.lax.dynamic_update_slice(keep, tile_keep, (start,))
-        return keep, None
+        # Append this tile's keepers to the compact buffer (drop past cap).
+        ranks = cnt + jnp.cumsum(tile_keep.astype(jnp.int32)) - 1
+        slot = jnp.where(tile_keep & (ranks < buf_cap), ranks, buf_cap)
+        buf = buf.at[slot].set(tile, mode="drop")
+        cnt = jnp.minimum(cnt + tile_keep.sum(), buf_cap)
+        return (keep, buf, cnt), None
 
     keep0 = jnp.zeros((np_,), jnp.bool_)
-    keep, _ = jax.lax.scan(
-        process_tile, keep0, jnp.arange(num_tiles, dtype=jnp.int32))
+    buf0 = jnp.zeros((buf_cap, 4), boxes.dtype)
+    (keep, _, _), _ = jax.lax.scan(
+        process_tile, (keep0, buf0, jnp.int32(0)),
+        jnp.arange(num_tiles, dtype=jnp.int32))
     keep = keep[:n]
 
     # Compact the first max_out kept indices into selection order.

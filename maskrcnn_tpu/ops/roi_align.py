@@ -133,20 +133,36 @@ def pyramid_roi_align(
         return (base[:, :, None] + yi[:, :, None] * row_stride[:, None, None]
                 + xi[:, None, :])
 
-    i00 = flat_idx(y0i, x0i)
-    i01 = flat_idx(y0i, x1i)
-    i10 = flat_idx(y1i, x0i)
-    i11 = flat_idx(y1i, x1i)
+    # TPU gathers are per-INDEX latency-bound (~40 GB/s at 512 B rows,
+    # measured), and only plain row gathers hit the fast path — slice-mode
+    # gathers (slice_sizes=(2, C)) are ~50x slower. So fetch both bilinear
+    # x-corners with ONE row gather from a widened table whose row k is
+    # [cell k | cell k+1] (channel-concatenated neighbor pair): half the
+    # indices at the fast-path rate. The roll wraps at level boundaries and
+    # the table end, but those rows are only ever read when x0 is at the
+    # right edge, where wx == 0 (clipped sampling has floor(x) == x), so the
+    # wrapped half is weighted by exactly zero. All values stay finite.
+    wide = jnp.concatenate([flat, jnp.roll(flat, -1, axis=0)], axis=1)
 
-    def gather(idx):
-        g = jnp.take(flat, idx.reshape(-1), axis=0)
-        return g.reshape(idx.shape + (c,)).astype(jnp.float32)
+    def gather_pair(idx):
+        # (N, P, P) -> (N, P, P, 2C): [corner, corner_right]
+        g = jnp.take(wide, idx.reshape(-1), axis=0, mode="clip")
+        return g.reshape(idx.shape + (2 * c,))
 
-    top = gather(i00) * (1.0 - wx)[..., None] + gather(i01) * wx[..., None]
-    bot = gather(i10) * (1.0 - wx)[..., None] + gather(i11) * wx[..., None]
-    out = top * (1.0 - wy)[..., None] + bot * wy[..., None]
+    wx_e = wx[..., None].astype(flat.dtype)  # (N, 1, P, 1)
+    wy_e = wy[..., None].astype(flat.dtype)  # (N, P, 1, 1)
+    # Edge clamp: when x0 == x1 (right edge), force wx to 0 so the
+    # out-of-level second column contributes nothing.
+    wx_ok = (x1i > x0i)[:, None, :, None].astype(flat.dtype)
+    wx_e = wx_e * wx_ok
+
+    g_top = gather_pair(flat_idx(y0i, x0i))  # (N, P, P, 2C)
+    g_bot = gather_pair(flat_idx(y1i, x0i))
+    top = g_top[..., :c] * (1 - wx_e) + g_top[..., c:] * wx_e
+    bot = g_bot[..., :c] * (1 - wx_e) + g_bot[..., c:] * wx_e
+    out = top * (1 - wy_e) + bot * wy_e
 
     in_range = (y_in[:, :, None] & x_in[:, None, :])[..., None]
     mask = in_range & valid[:, None, None, None]
-    out = jnp.where(mask, out, 0.0)
+    out = jnp.where(mask, out, jnp.zeros((), flat.dtype))
     return out.astype(compute_dtype)
