@@ -30,7 +30,8 @@ from maskrcnn_tpu.core.config import MaskRCNNConfig
 from maskrcnn_tpu.models import fpn, heads, resnet, rpn
 from maskrcnn_tpu.ops.detection import refine_detections
 from maskrcnn_tpu.ops.proposals import generate_proposals
-from maskrcnn_tpu.ops.roi_align import pyramid_roi_align
+from maskrcnn_tpu.ops.roi_align import (build_flat_pyramid,
+                                        pyramid_roi_align_flat)
 
 
 def init_mask_rcnn(key, config: MaskRCNNConfig) -> dict[str, Any]:
@@ -94,8 +95,14 @@ def forward(
     x = preprocess(images, config)
     pyramid = backbone_fpn(params, x, config, dtype)  # P2..P6
     rpn_logits, rpn_deltas = rpn.apply_rpn(params, pyramid, dtype=dtype)
-    rpn_probs = jax.nn.softmax(rpn_logits, axis=-1)
-    fg_scores = rpn_probs[..., 1]  # (B, A)
+    # Proposal selection only needs the fg ORDER; the logit margin is a
+    # monotonic transform of softmax fg probability (ProposalLayer consumes
+    # probabilities purely for sorting, ProposalLayer.swift:124-134), so the
+    # 262k-anchor softmax reduces to one subtraction. The margin order is a
+    # strict REFINEMENT of the probability order: saturated fp32 softmax
+    # collapses the top scores to exactly 1.0 (observed: entire top-k tied),
+    # where the reference's vDSP sort breaks ties in unspecified order.
+    fg_scores = rpn_logits[..., 1] - rpn_logits[..., 0]  # (B, A)
 
     propose = functools.partial(
         generate_proposals,
@@ -106,12 +113,14 @@ def forward(
     rois, roi_valid = jax.vmap(propose, in_axes=(0, 0, None))(
         fg_scores, rpn_deltas, anchors)  # (B, R, 4)
 
-    roi_feats = tuple(pyramid[:4])  # P2..P5 feed ROIAlign
+    # P2..P5 feed ROIAlign; the widened flat table is built ONCE per image
+    # and shared by the classifier (pool 7) and mask (pool 14) crops.
+    flat_pyr = jax.vmap(lambda *f: build_flat_pyramid(f))(*pyramid[:4])
 
     align_cls = functools.partial(
-        pyramid_roi_align, crop_size=config.pool_size,
+        pyramid_roi_align_flat, crop_size=config.pool_size,
         image_shape=image_hw, canonical_scale=config.roi_canonical_scale)
-    pooled = jax.vmap(lambda f, r: align_cls(f, r))(roi_feats, rois)
+    pooled = jax.vmap(lambda f, r: align_cls(f, r))(flat_pyr, rois)
     # (B, R, pool, pool, C) -> heads run dense over B*R
 
     r = config.max_proposals
@@ -131,10 +140,10 @@ def forward(
 
     det_boxes = detections[..., :4]  # (B, D, 4)
     align_mask = functools.partial(
-        pyramid_roi_align, crop_size=config.mask_pool_size,
+        pyramid_roi_align_flat, crop_size=config.mask_pool_size,
         image_shape=image_hw, canonical_scale=config.roi_canonical_scale)
     mask_pooled = jax.vmap(lambda f, r_: align_mask(f, r_))(
-        roi_feats, det_boxes)
+        flat_pyr, det_boxes)
 
     d = config.max_detections
     mask_all = heads.apply_mask_head(

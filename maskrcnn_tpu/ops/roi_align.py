@@ -70,6 +70,52 @@ def _crop_grid(coord_lo, coord_hi, size_minus_1, crop: int):
     return 0.5 * (coord_lo + coord_hi)[:, None] * size_minus_1[:, None]
 
 
+class FlatPyramid:
+    """Precomputed flat pyramid table shared by multiple ROIAlign calls.
+
+    Building the widened pair table costs two full passes over the pyramid
+    (~90 MB at 1024²/256ch), so the forward pass builds it ONCE and feeds
+    both the pool-7 (classifier) and pool-14 (mask) aligns.
+    Registered as a pytree so it can flow through jit/vmap.
+    """
+
+    def __init__(self, wide, heights, widths, offsets, num_levels, channels):
+        self.wide = wide                  # (S, 2C) [cell | cell+1] pairs
+        self.heights = heights            # (L,) f32
+        self.widths = widths              # (L,) f32
+        self.offsets = offsets            # (L,) i32 flat row offsets
+        self.num_levels = num_levels
+        self.channels = channels
+
+    def tree_flatten(self):
+        return ((self.wide, self.heights, self.widths, self.offsets),
+                (self.num_levels, self.channels))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+
+jax.tree_util.register_pytree_node(
+    FlatPyramid, FlatPyramid.tree_flatten, FlatPyramid.tree_unflatten)
+
+
+def build_flat_pyramid(features: Sequence[jnp.ndarray]) -> FlatPyramid:
+    """Flatten P2..P5 row-major into one widened (S, 2C) pair table."""
+    num_levels = len(features)
+    c = features[0].shape[-1]
+    flat = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
+    # Row k of `wide` holds [cell k | cell k+1]: both bilinear x-corners in
+    # one row gather (see the latency note in pyramid_roi_align_flat).
+    wide = jnp.concatenate([flat, jnp.roll(flat, -1, axis=0)], axis=1)
+    heights = jnp.asarray([f.shape[0] for f in features], jnp.float32)
+    widths = jnp.asarray([f.shape[1] for f in features], jnp.float32)
+    sizes = [f.shape[0] * f.shape[1] for f in features]
+    offsets = jnp.asarray(
+        [sum(sizes[:i]) for i in range(num_levels)], jnp.int32)
+    return FlatPyramid(wide, heights, widths, offsets, num_levels, c)
+
+
 @functools.partial(jax.jit, static_argnames=("crop_size", "image_shape",
                                              "canonical_scale"))
 def pyramid_roi_align(
@@ -88,17 +134,25 @@ def pyramid_roi_align(
         mask head — reference `PyramidROIAlignLayer.swift:45`).
       image_shape: (H, W) of the network input, for level selection.
     """
-    num_levels = len(features)
-    c = features[0].shape[-1]
-    compute_dtype = features[0].dtype
+    return pyramid_roi_align_flat(
+        build_flat_pyramid(features), rois, crop_size, image_shape,
+        canonical_scale)
 
-    # Flatten the pyramid row-major into one (S, C) table.
-    flat = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
-    heights = jnp.asarray([f.shape[0] for f in features], jnp.float32)
-    widths = jnp.asarray([f.shape[1] for f in features], jnp.float32)
-    sizes = [f.shape[0] * f.shape[1] for f in features]
-    offsets = jnp.asarray(
-        [sum(sizes[:i]) for i in range(num_levels)], jnp.int32)
+
+@functools.partial(jax.jit, static_argnames=("crop_size", "image_shape",
+                                             "canonical_scale"))
+def pyramid_roi_align_flat(
+    fp: FlatPyramid,
+    rois: jnp.ndarray,
+    crop_size: int,
+    image_shape: tuple[int, int],
+    canonical_scale: float = 224.0,
+) -> jnp.ndarray:
+    """Same as pyramid_roi_align, over a prebuilt (shared) FlatPyramid."""
+    num_levels = fp.num_levels
+    c = fp.channels
+    compute_dtype = fp.wide.dtype
+    heights, widths, offsets = fp.heights, fp.widths, fp.offsets
 
     rois = rois.astype(jnp.float32)
     level, valid = roi_levels(
@@ -136,24 +190,24 @@ def pyramid_roi_align(
     # TPU gathers are per-INDEX latency-bound (~40 GB/s at 512 B rows,
     # measured), and only plain row gathers hit the fast path — slice-mode
     # gathers (slice_sizes=(2, C)) are ~50x slower. So fetch both bilinear
-    # x-corners with ONE row gather from a widened table whose row k is
-    # [cell k | cell k+1] (channel-concatenated neighbor pair): half the
-    # indices at the fast-path rate. The roll wraps at level boundaries and
-    # the table end, but those rows are only ever read when x0 is at the
-    # right edge, where wx == 0 (clipped sampling has floor(x) == x), so the
-    # wrapped half is weighted by exactly zero. All values stay finite.
-    wide = jnp.concatenate([flat, jnp.roll(flat, -1, axis=0)], axis=1)
+    # x-corners with ONE row gather from the widened pair table (row k =
+    # [cell k | cell k+1]): half the indices at the fast-path rate. The pair
+    # construction wraps at level boundaries and the table end, but those
+    # rows are only read when x0 is at the right edge, where wx == 0
+    # (clipped sampling has floor(x) == x), so the wrapped half is weighted
+    # by exactly zero. All values stay finite.
+    wide = fp.wide
 
     def gather_pair(idx):
         # (N, P, P) -> (N, P, P, 2C): [corner, corner_right]
         g = jnp.take(wide, idx.reshape(-1), axis=0, mode="clip")
         return g.reshape(idx.shape + (2 * c,))
 
-    wx_e = wx[..., None].astype(flat.dtype)  # (N, 1, P, 1)
-    wy_e = wy[..., None].astype(flat.dtype)  # (N, P, 1, 1)
+    wx_e = wx[..., None].astype(compute_dtype)  # (N, 1, P, 1)
+    wy_e = wy[..., None].astype(compute_dtype)  # (N, P, 1, 1)
     # Edge clamp: when x0 == x1 (right edge), force wx to 0 so the
     # out-of-level second column contributes nothing.
-    wx_ok = (x1i > x0i)[:, None, :, None].astype(flat.dtype)
+    wx_ok = (x1i > x0i)[:, None, :, None].astype(compute_dtype)
     wx_e = wx_e * wx_ok
 
     g_top = gather_pair(flat_idx(y0i, x0i))  # (N, P, P, 2C)
@@ -164,5 +218,5 @@ def pyramid_roi_align(
 
     in_range = (y_in[:, :, None] & x_in[:, None, :])[..., None]
     mask = in_range & valid[:, None, None, None]
-    out = jnp.where(mask, out, jnp.zeros((), flat.dtype))
-    return out.astype(compute_dtype)
+    out = jnp.where(mask, out, jnp.zeros((), compute_dtype))
+    return out

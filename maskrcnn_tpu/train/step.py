@@ -24,7 +24,8 @@ from maskrcnn_tpu.models import heads as heads_mod
 from maskrcnn_tpu.models import rpn as rpn_mod
 from maskrcnn_tpu.models.mask_rcnn import backbone_fpn, preprocess
 from maskrcnn_tpu.ops.proposals import generate_proposals
-from maskrcnn_tpu.ops.roi_align import pyramid_roi_align
+from maskrcnn_tpu.ops.roi_align import (build_flat_pyramid,
+                                        pyramid_roi_align_flat)
 from maskrcnn_tpu.train import losses as L
 from maskrcnn_tpu.train.targets import proposal_targets, rpn_targets
 
@@ -94,12 +95,12 @@ def compute_losses(params, batch: dict[str, jnp.ndarray],
         batch["gt_masks"], keys[:, 1])
 
     t = config.train_rois_per_image
-    roi_feats = tuple(pyramid[:4])
+    flat_pyr = jax.vmap(lambda *f: build_flat_pyramid(f))(*pyramid[:4])
 
     align_cls = functools.partial(
-        pyramid_roi_align, crop_size=config.pool_size, image_shape=image_hw,
-        canonical_scale=config.roi_canonical_scale)
-    pooled = jax.vmap(lambda f, r: align_cls(f, r))(roi_feats, tgt.rois)
+        pyramid_roi_align_flat, crop_size=config.pool_size,
+        image_shape=image_hw, canonical_scale=config.roi_canonical_scale)
+    pooled = jax.vmap(lambda f, r: align_cls(f, r))(flat_pyr, tgt.rois)
     _, pred_deltas, cls_logits = heads_mod.apply_classifier_head(
         params, pooled.reshape((b * t,) + pooled.shape[2:]),
         config.num_classes, dtype=dtype, with_logits=True)
@@ -112,9 +113,9 @@ def compute_losses(params, batch: dict[str, jnp.ndarray],
 
     # --- mask head on the same sampled rois -------------------------------
     align_mask = functools.partial(
-        pyramid_roi_align, crop_size=config.mask_pool_size,
+        pyramid_roi_align_flat, crop_size=config.mask_pool_size,
         image_shape=image_hw, canonical_scale=config.roi_canonical_scale)
-    mask_pooled = jax.vmap(lambda f, r: align_mask(f, r))(roi_feats, tgt.rois)
+    mask_pooled = jax.vmap(lambda f, r: align_mask(f, r))(flat_pyr, tgt.rois)
     pred_masks = heads_mod.apply_mask_head(
         params, mask_pooled.reshape((b * t,) + mask_pooled.shape[2:]),
         dtype=dtype)  # (B*T, m, m, C)
