@@ -114,7 +114,9 @@ def cmd_evaluate(args) -> int:
     from maskrcnn_tpu.evalkit.results import (
         build_results_proto, detections_to_coco_results, load_coco_results,
         save_coco_results, save_results_proto)
+    from maskrcnn_tpu.utils.profiling import StageTimer
 
+    timer = StageTimer()
     detector, config = _build_detector(args.model, args.config, args.weights,
                                        args.products_dir)
     ann_dir = args.annotations_dir or os.path.join("data", args.dataset)
@@ -134,15 +136,18 @@ def cmd_evaluate(args) -> int:
         if not os.path.exists(path):
             print(f"# skipping {im.id}: {path} not found", file=sys.stderr)
             continue
-        img = np.asarray(Image.open(path).convert("RGB"))
+        with timer.phase("load+decode"):
+            img = np.asarray(Image.open(path).convert("RGB"))
         t0 = time.time()
-        dets = detector.detect_images([img])[0]
+        with timer.phase("inference"):
+            dets = detector.detect_images([img])[0]
         dt = time.time() - t0
         times.append(dt)
         # per-image wall time, like EvaluateCommand.swift:167,179,193
         print(f"image {im.id}: {len(dets)} detections in {dt*1000:.1f} ms",
               file=sys.stderr)
-        rows.extend(detections_to_coco_results(im.id, dets, dataset))
+        with timer.phase("results"):
+            rows.extend(detections_to_coco_results(im.id, dets, dataset))
         per_image[im.id] = dets
         eval_ids.append(im.id)
         n += 1
@@ -156,6 +161,7 @@ def cmd_evaluate(args) -> int:
                        os.path.join(args.results_dir, "results.pb"))
     print(f"# {n} images, median {np.median(times)*1000:.1f} ms/img",
           file=sys.stderr)
+    print("# phase breakdown:\n" + timer.report(), file=sys.stderr)
 
     for iou_type in ("bbox", "segm"):
         print(f"== {iou_type} ==")
@@ -283,6 +289,39 @@ def cmd_download(args) -> int:
 
 
 # ---------------------------------------------------------------------------
+# stream
+# ---------------------------------------------------------------------------
+
+def cmd_stream(args) -> int:
+    """Streaming video inference with the persistent compiled pipeline."""
+    from maskrcnn_tpu.pipeline.stream import (
+        frames_from_dir, run_stream, synthetic_frames)
+
+    detector, config = _build_detector(args.model, args.config, args.weights,
+                                       None)
+    size = config.image_height
+    if args.frames_dir:
+        frames = frames_from_dir(args.frames_dir, size)
+    else:
+        frames = synthetic_frames(args.num_frames, size)
+
+    # warm up the compile off the clock
+    import numpy as np
+    detector.run_batch(np.zeros((args.micro_batch, size, size, 3),
+                                np.float32))
+
+    counts = []
+    stats = run_stream(
+        detector, frames,
+        on_result=lambda i, out: counts.append(int(out["valid"].sum())),
+        micro_batch=args.micro_batch)
+    print(f"{stats.frames} frames in {stats.wall_s:.2f}s -> "
+          f"{stats.fps:.1f} fps, p50 latency {stats.p50_latency_ms:.1f} ms, "
+          f"detections per microbatch: {counts[:8]}{'...' if len(counts) > 8 else ''}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
 # demo
 # ---------------------------------------------------------------------------
 
@@ -362,6 +401,15 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--url")
     d.add_argument("--timeout", type=float, default=30.0)
     d.set_defaults(fn=cmd_download)
+
+    st = sub.add_parser("stream", help="streaming inference (video frames)")
+    st.add_argument("model")
+    st.add_argument("--frames-dir", help="directory of frames (else synthetic)")
+    st.add_argument("--num-frames", type=int, default=64)
+    st.add_argument("--micro-batch", type=int, default=1)
+    st.add_argument("--config")
+    st.add_argument("--weights")
+    st.set_defaults(fn=cmd_stream)
 
     m = sub.add_parser("demo", help="detect + render one image")
     m.add_argument("model")

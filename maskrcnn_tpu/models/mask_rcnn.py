@@ -32,12 +32,26 @@ from maskrcnn_tpu.ops.detection import refine_detections
 from maskrcnn_tpu.ops.proposals import generate_proposals
 from maskrcnn_tpu.ops.roi_align import (build_flat_pyramid,
                                         pyramid_roi_align_flat)
+from maskrcnn_tpu.utils.profiling import stage
 
 
 def init_mask_rcnn(key, config: MaskRCNNConfig) -> dict[str, Any]:
     """Random-init the full parameter pytree (flat, Matterport-named)."""
     k_bb, k_fpn, k_rpn, k_cls, k_mask = jax.random.split(key, 5)
     params: dict[str, Any] = {}
+    if config.architecture == "mobilenetv2":
+        from maskrcnn_tpu.models import mobilenet
+        params.update(mobilenet.init_mobilenetv2(k_bb))
+        params.update(fpn.init_fpn(k_fpn, config.fpn_channels,
+                                   c_channels=mobilenet.C_CHANNELS))
+        params.update(rpn.init_rpn(
+            k_rpn, config.fpn_channels, config.anchors_per_location))
+        params.update(heads.init_classifier_head(
+            k_cls, config.num_classes, config.fpn_channels, config.pool_size,
+            config.head_fc_dim))
+        params.update(heads.init_mask_head(
+            k_mask, config.num_classes, config.fpn_channels))
+        return params
     params.update(resnet.init_resnet(k_bb, config.architecture))
     params.update(fpn.init_fpn(k_fpn, config.fpn_channels))
     params.update(rpn.init_rpn(
@@ -59,8 +73,13 @@ def preprocess(images: jnp.ndarray, config: MaskRCNNConfig) -> jnp.ndarray:
 
 
 def backbone_fpn(params, images, config: MaskRCNNConfig, dtype):
-    c2, c3, c4, c5 = resnet.apply_resnet(
-        params, images, config.architecture, dtype=dtype)
+    if config.architecture == "mobilenetv2":
+        from maskrcnn_tpu.models import mobilenet
+        c2, c3, c4, c5 = mobilenet.apply_mobilenetv2(
+            params, images, dtype=dtype)
+    else:
+        c2, c3, c4, c5 = resnet.apply_resnet(
+            params, images, config.architecture, dtype=dtype)
     return fpn.apply_fpn(params, c2, c3, c4, c5, dtype=dtype)
 
 
@@ -92,9 +111,12 @@ def forward(
     b = images.shape[0]
     image_hw = (config.image_height, config.image_width)
 
-    x = preprocess(images, config)
-    pyramid = backbone_fpn(params, x, config, dtype)  # P2..P6
-    rpn_logits, rpn_deltas = rpn.apply_rpn(params, pyramid, dtype=dtype)
+    with stage("preprocess"):
+        x = preprocess(images, config)
+    with stage("backbone_fpn"):
+        pyramid = backbone_fpn(params, x, config, dtype)  # P2..P6
+    with stage("rpn"):
+        rpn_logits, rpn_deltas = rpn.apply_rpn(params, pyramid, dtype=dtype)
     # Proposal selection only needs the fg ORDER; the logit margin is a
     # monotonic transform of softmax fg probability (ProposalLayer consumes
     # probabilities purely for sorting, ProposalLayer.swift:124-134), so the
@@ -110,23 +132,27 @@ def forward(
         pre_nms_max_proposals=config.pre_nms_max_proposals,
         max_proposals=config.max_proposals,
         nms_threshold=config.proposal_nms_threshold)
-    rois, roi_valid = jax.vmap(propose, in_axes=(0, 0, None))(
-        fg_scores, rpn_deltas, anchors)  # (B, R, 4)
+    with stage("proposals"):
+        rois, roi_valid = jax.vmap(propose, in_axes=(0, 0, None))(
+            fg_scores, rpn_deltas, anchors)  # (B, R, 4)
 
     # P2..P5 feed ROIAlign; the widened flat table is built ONCE per image
     # and shared by the classifier (pool 7) and mask (pool 14) crops.
-    flat_pyr = jax.vmap(lambda *f: build_flat_pyramid(f))(*pyramid[:4])
+    with stage("flat_pyramid"):
+        flat_pyr = jax.vmap(lambda *f: build_flat_pyramid(f))(*pyramid[:4])
 
     align_cls = functools.partial(
         pyramid_roi_align_flat, crop_size=config.pool_size,
         image_shape=image_hw, canonical_scale=config.roi_canonical_scale)
-    pooled = jax.vmap(lambda f, r: align_cls(f, r))(flat_pyr, rois)
+    with stage("roi_align_classifier"):
+        pooled = jax.vmap(lambda f, r: align_cls(f, r))(flat_pyr, rois)
     # (B, R, pool, pool, C) -> heads run dense over B*R
 
     r = config.max_proposals
-    probs, deltas = heads.apply_classifier_head(
-        params, pooled.reshape((b * r,) + pooled.shape[2:]),
-        config.num_classes, dtype=dtype)
+    with stage("classifier_head"):
+        probs, deltas = heads.apply_classifier_head(
+            params, pooled.reshape((b * r,) + pooled.shape[2:]),
+            config.num_classes, dtype=dtype)
     probs = probs.reshape(b, r, -1)
     deltas = deltas.reshape(b, r, config.num_classes, 4)
 
@@ -136,19 +162,22 @@ def forward(
         score_threshold=config.detection_score_threshold,
         nms_threshold=config.detection_nms_threshold,
         max_detections=config.max_detections)
-    detections, det_valid, _ = jax.vmap(refine)(rois, probs, deltas)
+    with stage("detection"):
+        detections, det_valid, _ = jax.vmap(refine)(rois, probs, deltas)
 
     det_boxes = detections[..., :4]  # (B, D, 4)
     align_mask = functools.partial(
         pyramid_roi_align_flat, crop_size=config.mask_pool_size,
         image_shape=image_hw, canonical_scale=config.roi_canonical_scale)
-    mask_pooled = jax.vmap(lambda f, r_: align_mask(f, r_))(
-        flat_pyr, det_boxes)
+    with stage("roi_align_mask"):
+        mask_pooled = jax.vmap(lambda f, r_: align_mask(f, r_))(
+            flat_pyr, det_boxes)
 
     d = config.max_detections
-    mask_all = heads.apply_mask_head(
-        params, mask_pooled.reshape((b * d,) + mask_pooled.shape[2:]),
-        dtype=dtype)  # (B*D, 2p, 2p, num_classes)
+    with stage("mask_head"):
+        mask_all = heads.apply_mask_head(
+            params, mask_pooled.reshape((b * d,) + mask_pooled.shape[2:]),
+            dtype=dtype)  # (B*D, 2p, 2p, num_classes)
     mask_all = mask_all.reshape(b, d, config.mask_size, config.mask_size,
                                 config.num_classes)
 

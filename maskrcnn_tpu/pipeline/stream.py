@@ -1,0 +1,108 @@
+"""Streaming (video) instance segmentation with a persistent compiled pipeline.
+
+BASELINE.json's fifth config: "streaming video instance segmentation at
+30 fps with persistent compiled pipeline + on-device mask pasting". The
+compiled forward persists across frames (compile once, then steady-state);
+frames are processed in micro-batches with double-buffered host->device
+transfer (dispatch frame t+1's transfer while frame t computes — the analog
+of the reference's 3-deep Metal command-buffer pipelining,
+`PyramidROIAlignLayer.swift:143-179`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Iterable, Iterator
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from maskrcnn_tpu.pipeline.detector import MaskRCNNDetector
+
+
+@dataclasses.dataclass
+class StreamStats:
+    frames: int
+    wall_s: float
+    p50_latency_ms: float
+
+    @property
+    def fps(self) -> float:
+        return self.frames / self.wall_s if self.wall_s else 0.0
+
+
+def run_stream(
+    detector: MaskRCNNDetector,
+    frames: Iterable[np.ndarray],
+    on_result: Callable[[int, dict], None] | None = None,
+    micro_batch: int = 1,
+) -> StreamStats:
+    """Drive letterboxed (S, S, 3) frames through the persistent pipeline.
+
+    `on_result(frame_idx, outputs)` receives the raw padded device outputs;
+    decode lazily (e.g. only when detections exist) to stay off the hot path.
+    Returns throughput/latency stats.
+    """
+    lat: list[float] = []
+    pending = None  # (idx, device outputs) — one frame of pipelining
+    n = 0
+    t_start = time.perf_counter()
+
+    def flush(p):
+        if p is None:
+            return
+        idx, out, t0 = p
+        jax.block_until_ready(out["detections"])
+        lat.append(time.perf_counter() - t0)
+        if on_result is not None:
+            on_result(idx, out)
+
+    batch_buf: list[np.ndarray] = []
+    for frame in frames:
+        batch_buf.append(frame)
+        if len(batch_buf) < micro_batch:
+            continue
+        t0 = time.perf_counter()
+        out = detector.run_batch(np.stack(batch_buf))
+        flush(pending)  # overlap: previous frame finishes while this runs
+        pending = (n, out, t0)
+        n += len(batch_buf)
+        batch_buf = []
+    if batch_buf:
+        t0 = time.perf_counter()
+        out = detector.run_batch(np.stack(batch_buf))
+        flush(pending)
+        pending = (n, out, t0)
+        n += len(batch_buf)
+    flush(pending)
+
+    wall = time.perf_counter() - t_start
+    p50 = sorted(lat)[len(lat) // 2] * 1000 if lat else 0.0
+    return StreamStats(frames=n, wall_s=wall, p50_latency_ms=p50)
+
+
+def frames_from_dir(path: str, size: int) -> Iterator[np.ndarray]:
+    """Letterboxed frames from an image directory (sorted by name)."""
+    import os
+
+    from PIL import Image
+
+    from maskrcnn_tpu.pipeline.preprocess import letterbox_numpy
+
+    for name in sorted(os.listdir(path)):
+        if not name.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")):
+            continue
+        img = np.asarray(Image.open(os.path.join(path, name)).convert("RGB"))
+        canvas, _ = letterbox_numpy(img, size)
+        yield canvas
+
+
+def synthetic_frames(n: int, size: int, seed: int = 0) -> Iterator[np.ndarray]:
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(0, 255, (size, size, 3)).astype(np.float32)
+    for i in range(n):
+        # cheap motion: roll the frame so content changes each step
+        yield np.roll(base, shift=7 * i, axis=1)
