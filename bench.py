@@ -47,7 +47,7 @@ def main() -> int:
         batch = args.batch or 2
     else:
         config = MaskRCNNConfig(architecture="resnet101")
-        batch = args.batch or 4
+        batch = args.batch or 32
 
     dev = jax.devices()[0]
     print(f"# bench: {config.architecture} @ "

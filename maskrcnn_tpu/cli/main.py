@@ -130,27 +130,45 @@ def cmd_evaluate(args) -> int:
     n = 0
     eval_ids = []
     # The reference hardcodes the first 5 images sorted by id
-    # (EvaluateCommand.swift:165); --limit makes that configurable.
+    # (EvaluateCommand.swift:165); --limit makes that configurable, and
+    # --batch amortizes the compiled pipeline over image chunks (the
+    # reference is strictly batch=1).
+    pending_imgs, pending_ids = [], []
+
+    def flush():
+        nonlocal n
+        if not pending_imgs:
+            return
+        t0 = time.time()
+        with timer.phase("inference"):
+            all_dets = detector.detect_images(
+                pending_imgs, batch_size=args.batch)
+        dt = (time.time() - t0) / len(pending_imgs)
+        for img_id, dets in zip(pending_ids, all_dets):
+            times.append(dt)
+            # per-image wall time, like EvaluateCommand.swift:167,179,193
+            print(f"image {img_id}: {len(dets)} detections in "
+                  f"{dt*1000:.1f} ms", file=sys.stderr)
+            with timer.phase("results"):
+                rows.extend(
+                    detections_to_coco_results(img_id, dets, dataset))
+            per_image[img_id] = dets
+            eval_ids.append(img_id)
+            n += 1
+        pending_imgs.clear()
+        pending_ids.clear()
+
     for im in dataset.iter_images(limit=args.limit, sort_by_id=True):
         path = os.path.join(images_dir, im.file_name)
         if not os.path.exists(path):
             print(f"# skipping {im.id}: {path} not found", file=sys.stderr)
             continue
         with timer.phase("load+decode"):
-            img = np.asarray(Image.open(path).convert("RGB"))
-        t0 = time.time()
-        with timer.phase("inference"):
-            dets = detector.detect_images([img])[0]
-        dt = time.time() - t0
-        times.append(dt)
-        # per-image wall time, like EvaluateCommand.swift:167,179,193
-        print(f"image {im.id}: {len(dets)} detections in {dt*1000:.1f} ms",
-              file=sys.stderr)
-        with timer.phase("results"):
-            rows.extend(detections_to_coco_results(im.id, dets, dataset))
-        per_image[im.id] = dets
-        eval_ids.append(im.id)
-        n += 1
+            pending_imgs.append(np.asarray(Image.open(path).convert("RGB")))
+        pending_ids.append(im.id)
+        if len(pending_imgs) >= args.batch:
+            flush()
+    flush()
     if n == 0:
         print("no images evaluated (missing files?)", file=sys.stderr)
         return 1
@@ -369,6 +387,8 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--type", default="val")
     e.add_argument("--limit", type=int, default=5,
                    help="images to evaluate (reference hardcodes 5)")
+    e.add_argument("--batch", type=int, default=1,
+                   help="inference batch size (reference is batch=1)")
     e.add_argument("--config")
     e.add_argument("--weights")
     e.add_argument("--products_dir")

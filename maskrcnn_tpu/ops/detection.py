@@ -42,7 +42,8 @@ _CLASS_STRIDE = 2.0
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_detections", "nms_tile"))
+    jax.jit, static_argnames=("max_detections", "nms_threshold",
+                              "nms_tile"))
 def refine_detections(
     rois: jnp.ndarray,
     class_probs: jnp.ndarray,

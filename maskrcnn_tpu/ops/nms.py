@@ -36,7 +36,9 @@ from maskrcnn_tpu.ops.boxes import box_iou
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_out", "tile_size", "return_mask"))
+    jax.jit,
+    static_argnames=("iou_threshold", "max_out", "tile_size", "return_mask",
+                     "impl"))
 def nms_padded(
     boxes: jnp.ndarray,
     valid: jnp.ndarray,
@@ -44,6 +46,7 @@ def nms_padded(
     max_out: int,
     tile_size: int = 512,
     return_mask: bool = False,
+    impl: str = "auto",
 ):
     """Greedy NMS over score-sorted (N, 4) boxes.
 
@@ -68,6 +71,15 @@ def nms_padded(
     boxes = boxes.astype(jnp.float32)
     area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
     cand_all = valid & (area > 0.0)
+
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from maskrcnn_tpu.ops.nms_pallas import nms_keep_pallas
+        keep = nms_keep_pallas(
+            boxes, cand_all, float(iou_threshold), max_out,
+            tile_size=min(256, _round_up_static(n, 128)))
+        return _compact(keep, n, max_out, return_mask)
 
     pad = (-n) % tile_size
     if pad:
@@ -129,8 +141,11 @@ def nms_padded(
         process_tile, (keep0, buf0, jnp.int32(0)),
         jnp.arange(num_tiles, dtype=jnp.int32))
     keep = keep[:n]
+    return _compact(keep, n, max_out, return_mask)
 
-    # Compact the first max_out kept indices into selection order.
+
+def _compact(keep, n: int, max_out: int, return_mask: bool):
+    """First max_out kept indices in selection order + validity mask."""
     rank = jnp.cumsum(keep.astype(jnp.int32)) - 1  # rank among kept
     slot = jnp.where(keep & (rank < max_out), rank, max_out)
     indices = jnp.full((max_out + 1,), n, jnp.int32)
@@ -141,6 +156,10 @@ def nms_padded(
     if return_mask:
         return indices, valid_out, keep
     return indices, valid_out
+
+
+def _round_up_static(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
 def nms_gather(boxes: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:

@@ -29,7 +29,8 @@ from maskrcnn_tpu.ops.nms import nms_gather, nms_padded
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pre_nms_max_proposals", "max_proposals", "nms_tile"))
+    static_argnames=("pre_nms_max_proposals", "max_proposals",
+                     "nms_threshold", "nms_tile"))
 def generate_proposals(
     fg_scores: jnp.ndarray,
     deltas: jnp.ndarray,

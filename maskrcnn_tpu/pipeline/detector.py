@@ -75,23 +75,35 @@ class MaskRCNNDetector:
     # --- host decode -------------------------------------------------------
 
     def detect_images(self, images: Sequence[np.ndarray],
-                      paste_masks: bool = True) -> list[list[Detection]]:
-        """Arbitrary-size RGB uint8 images -> per-image decoded detections."""
+                      paste_masks: bool = True,
+                      batch_size: int | None = None) -> list[list[Detection]]:
+        """Arbitrary-size RGB uint8 images -> per-image decoded detections.
+
+        `batch_size` pads the final chunk so only ONE jit program is compiled
+        per configured size (None = one batch of len(images))."""
         size = self.config.image_height
         canvases, windows = [], []
         for img in images:
             canvas, win = letterbox_numpy(img, size)
             canvases.append(canvas)
             windows.append(win)
-        out = self.run_batch(np.stack(canvases))
-        det = np.asarray(out["detections"])
-        masks = np.asarray(out["masks"])
-        valid = np.asarray(out["valid"])
-        return [
-            self.unmold(det[i], masks[i], valid[i], windows[i],
-                        paste_masks=paste_masks)
-            for i in range(len(images))
-        ]
+
+        results: list[list[Detection]] = []
+        bs = batch_size or len(images)
+        for start in range(0, len(images), bs):
+            chunk = canvases[start:start + bs]
+            n_real = len(chunk)
+            while len(chunk) < bs:  # pad tail to keep the shape static
+                chunk.append(np.zeros_like(chunk[0]))
+            out = self.run_batch(np.stack(chunk))
+            det = np.asarray(out["detections"])
+            masks = np.asarray(out["masks"])
+            valid = np.asarray(out["valid"])
+            for i in range(n_real):
+                results.append(self.unmold(
+                    det[i], masks[i], valid[i], windows[start + i],
+                    paste_masks=paste_masks))
+        return results
 
     def unmold(self, detections: np.ndarray, masks: np.ndarray,
                valid: np.ndarray, win: LetterboxWindow,
