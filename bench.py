@@ -29,6 +29,7 @@ def main() -> int:
                     help="batch size (0 = auto per preset)")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--mode", choices=("infer", "train"), default="infer")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +48,7 @@ def main() -> int:
         batch = args.batch or 2
     else:
         config = MaskRCNNConfig(architecture="resnet101")
-        batch = args.batch or 32
+        batch = args.batch or (8 if args.mode == "train" else 32)
 
     dev = jax.devices()[0]
     print(f"# bench: {config.architecture} @ "
@@ -60,6 +61,9 @@ def main() -> int:
     images = jnp.asarray(
         rng.uniform(0, 255, (batch, config.image_height,
                              config.image_width, 3)).astype(np.float32))
+
+    if args.mode == "train":
+        return _bench_train(args, config, params, anchors, images, batch)
 
     def run():
         out = forward(params, images, anchors, config)
@@ -94,6 +98,60 @@ def main() -> int:
         "value": round(img_per_s, 3),
         "unit": "images/sec",
         "vs_baseline": round(img_per_s / 100.0, 4),
+    }))
+    return 0
+
+
+def _bench_train(args, config, params, anchors, images, batch):
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maskrcnn_tpu.train.step import make_train_state, train_step
+
+    rng = np.random.default_rng(1)
+    g, m = 8, config.mask_size
+    yx1 = rng.uniform(0, 0.6, (batch, g, 2))
+    wh = rng.uniform(0.1, 0.3, (batch, g, 2))
+    batch_data = {
+        "images": images,
+        "gt_boxes": jnp.asarray(
+            np.concatenate([yx1, yx1 + wh], -1), jnp.float32),
+        "gt_class_ids": jnp.asarray(
+            rng.integers(1, config.num_classes, (batch, g)), jnp.int32),
+        "gt_masks": jnp.asarray(
+            (rng.random((batch, g, m, m)) > 0.5), jnp.float32),
+    }
+    state, txm = make_train_state(params, config)
+    key = jax.random.PRNGKey(2)
+
+    def run(st):
+        st, metrics = train_step(st, batch_data, anchors, key, config, txm)
+        jax.block_until_ready(metrics["loss"])
+        return st
+
+    t0 = time.perf_counter()
+    state = run(state)
+    print(f"# train compile+step: {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+    for _ in range(args.warmup):
+        state = run(state)
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        state = run(state)
+        times.append(time.perf_counter() - t0)
+    med = sorted(times)[len(times) // 2]
+    print(f"# train p50 step {med*1000:.1f} ms, "
+          f"{batch/med:.2f} img/s", file=sys.stderr)
+    print(json.dumps({
+        "metric": (f"train_images_per_sec_per_chip_{config.architecture}_"
+                   f"{config.image_height}"),
+        "value": round(batch / med, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(batch / med / 100.0, 4),
     }))
     return 0
 

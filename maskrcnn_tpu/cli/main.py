@@ -256,15 +256,26 @@ def cmd_train(args) -> int:
             batch_size=args.batch, seed=args.seed)
         loader = loader_obj.get_batch
 
+    if args.resume and args.state and os.path.exists(args.state):
+        from maskrcnn_tpu.train.checkpoint import restore_train_state
+        state = restore_train_state(state, args.state)
+        print(f"resumed from {args.state} at step {int(state.step)}")
+
     key = jax.random.PRNGKey(args.seed + 1)
     t0 = time.time()
-    for step in range(args.steps):
+    start_step = int(state.step)
+    for step in range(start_step, start_step + args.steps):
         key, sub = jax.random.split(key)
         state, metrics = train_step(
             state, loader(step), anchors, sub, config, tx_and_mask)
-        if step % args.log_every == 0 or step == args.steps - 1:
+        if (step % args.log_every == 0
+                or step == start_step + args.steps - 1):
             m_ = {k: round(float(v), 4) for k, v in metrics.items()}
             print(f"step {step:5d}  {m_}  ({time.time()-t0:.1f}s)")
+    if args.state:
+        from maskrcnn_tpu.train.checkpoint import save_train_state
+        save_train_state(state, args.state)
+        print(f"train state saved: {args.state} (step {int(state.step)})")
     if args.output:
         save_npz_checkpoint(state.params, args.output)
         print(f"checkpoint saved: {args.output}")
@@ -414,6 +425,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--log-every", type=int, default=5)
     t.add_argument("--output", help="write final checkpoint.npz here")
+    t.add_argument("--state", help="train-state file for save/resume")
+    t.add_argument("--resume", action="store_true",
+                   help="resume from --state if it exists")
     t.set_defaults(fn=cmd_train)
 
     d = sub.add_parser("download", help="fetch pretrained weights")
