@@ -101,12 +101,17 @@ jax.tree_util.register_pytree_node(
 
 
 def build_flat_pyramid(features: Sequence[jnp.ndarray]) -> FlatPyramid:
-    """Flatten P2..P5 row-major into one widened (S, 2C) pair table."""
+    """Flatten P2..P5 row-major into one widened (S, 2C) pair table.
+
+    Row k holds [cell k | cell k+1], so two row gathers fetch all four
+    bilinear corners. (An int8 4-corner "quad" variant — one gather per
+    output pixel at half the bytes — was measured SLOWER end-to-end on v5e:
+    the int8->f32 conversion and 4-way combine outweigh the gather saving,
+    and the table build adds a full pyramid pass. See git history.)
+    """
     num_levels = len(features)
     c = features[0].shape[-1]
     flat = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
-    # Row k of `wide` holds [cell k | cell k+1]: both bilinear x-corners in
-    # one row gather (see the latency note in pyramid_roi_align_flat).
     wide = jnp.concatenate([flat, jnp.roll(flat, -1, axis=0)], axis=1)
     heights = jnp.asarray([f.shape[0] for f in features], jnp.float32)
     widths = jnp.asarray([f.shape[1] for f in features], jnp.float32)
@@ -198,17 +203,17 @@ def pyramid_roi_align_flat(
     # by exactly zero. All values stay finite.
     wide = fp.wide
 
+    # Edge clamps: at the right edge the wrapped pair half must be weighted
+    # exactly zero (clipped sampling has floor == coordinate there).
+    wx_e = wx[..., None].astype(compute_dtype)  # (N, 1, P, 1)
+    wy_e = wy[..., None].astype(compute_dtype)  # (N, P, 1, 1)
+    wx_ok = (x1i > x0i)[:, None, :, None].astype(compute_dtype)
+    wx_e = wx_e * wx_ok
+
     def gather_pair(idx):
         # (N, P, P) -> (N, P, P, 2C): [corner, corner_right]
         g = jnp.take(wide, idx.reshape(-1), axis=0, mode="clip")
         return g.reshape(idx.shape + (2 * c,))
-
-    wx_e = wx[..., None].astype(compute_dtype)  # (N, 1, P, 1)
-    wy_e = wy[..., None].astype(compute_dtype)  # (N, P, 1, 1)
-    # Edge clamp: when x0 == x1 (right edge), force wx to 0 so the
-    # out-of-level second column contributes nothing.
-    wx_ok = (x1i > x0i)[:, None, :, None].astype(compute_dtype)
-    wx_e = wx_e * wx_ok
 
     g_top = gather_pair(flat_idx(y0i, x0i))  # (N, P, P, 2C)
     g_bot = gather_pair(flat_idx(y1i, x0i))
