@@ -78,18 +78,28 @@ def main() -> int:
     for _ in range(args.warmup):
         run()
 
+    # Latency: block every step (what one caller waiting on results sees).
     times = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)
-
     med = sorted(times)[len(times) // 2]
-    img_per_s = batch / med
-    p50_ms = med / batch * 1000.0
 
-    print(f"# p50 step {med*1000:.2f} ms, {img_per_s:.2f} img/s, "
-          f"{p50_ms:.2f} ms/img", file=sys.stderr)
+    # Throughput: pipelined dispatch, one sync at the end (offline-serving
+    # convention — keeps the device busy back-to-back).
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(args.iters):
+        out = forward(params, images, anchors, config)
+    jax.block_until_ready((out["detections"], out["masks"]))
+    pipelined = (time.perf_counter() - t0) / args.iters
+
+    img_per_s = batch / pipelined
+    print(f"# blocking p50 step {med*1000:.2f} ms "
+          f"({batch/med:.2f} img/s); pipelined {pipelined*1000:.2f} ms "
+          f"-> {img_per_s:.2f} img/s, {pipelined/batch*1000:.2f} ms/img",
+          file=sys.stderr)
 
     metric = (f"images_per_sec_per_chip_{config.architecture}_"
               f"{config.image_height}")
