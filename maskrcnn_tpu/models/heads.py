@@ -54,11 +54,17 @@ def apply_classifier_head(params, pooled, num_classes: int,
     flat_k = k1["kernel"].reshape(-1, k1["kernel"].shape[-1])
     x = nn.dense(pooled.reshape(n, -1), {"kernel": flat_k, "bias": k1["bias"]},
                  dtype=dtype)
-    x = x.astype(jnp.dtype(dtype))[:, None, None, :]  # (N, 1, 1, fc)
-    x = nn.relu(nn.batch_norm(x, params["mrcnn_class_bn1"]))
-    x = nn.conv2d(x, params["mrcnn_class_conv2"], padding="VALID", dtype=dtype)
-    x = nn.relu(nn.batch_norm(x, params["mrcnn_class_bn2"]))
-    shared = x.reshape(n, -1)  # (N, fc)
+    x = nn.relu(nn.batch_norm(x.astype(jnp.dtype(dtype)),
+                              params["mrcnn_class_bn1"]))  # (N, fc)
+    # The 1x1 conv on a 1x1 spatial map IS a dense layer — skip the conv
+    # lowering entirely.
+    k2 = params["mrcnn_class_conv2"]
+    x = nn.dense(x, {"kernel": k2["kernel"].reshape(k2["kernel"].shape[-2],
+                                                    k2["kernel"].shape[-1]),
+                     "bias": k2["bias"]}, dtype=dtype)
+    x = nn.relu(nn.batch_norm(x.astype(jnp.dtype(dtype)),
+                              params["mrcnn_class_bn2"]))
+    shared = x  # (N, fc)
 
     logits = nn.dense(shared, params["mrcnn_class_logits"],
                       dtype=dtype).astype(jnp.float32)
