@@ -276,8 +276,17 @@ def cmd_train(args) -> int:
         from maskrcnn_tpu.train.checkpoint import save_train_state
         save_train_state(state, args.state)
         print(f"train state saved: {args.state} (step {int(state.step)})")
+    params_out = state.params
+    if config.train_bn == "batch" and not args.no_calibrate:
+        # moving stats were never updated during batch-stat training;
+        # re-estimate them so the frozen-stat inference path works.
+        from maskrcnn_tpu.train.calibrate import calibrate_bn_stats
+        cal_batches = [loader(i)["images"] for i in range(args.calibrate_batches)]
+        params_out = calibrate_bn_stats(params_out, cal_batches, anchors,
+                                        config)
+        print(f"BN statistics calibrated over {len(cal_batches)} batches")
     if args.output:
-        save_npz_checkpoint(state.params, args.output)
+        save_npz_checkpoint(params_out, args.output)
         print(f"checkpoint saved: {args.output}")
     return 0
 
@@ -426,6 +435,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--log-every", type=int, default=5)
     t.add_argument("--output", help="write final checkpoint.npz here")
     t.add_argument("--state", help="train-state file for save/resume")
+    t.add_argument("--no-calibrate", action="store_true",
+                   help="skip post-training BN statistics calibration")
+    t.add_argument("--calibrate-batches", type=int, default=8)
     t.add_argument("--resume", action="store_true",
                    help="resume from --state if it exists")
     t.set_defaults(fn=cmd_train)

@@ -73,6 +73,11 @@ class MaskRCNNConfig:
     # bf16 is the TPU-idiomatic equivalent.
 
     # --- training (capability the reference stubs out: TrainCommand.swift) -
+    # BN statistics during training: "batch" (live batch stats — required
+    # when training from scratch; moving stats are re-estimated afterwards by
+    # train.calibrate.calibrate_bn_stats) or "frozen" (stored moving stats —
+    # the Matterport fine-tuning recipe for pretrained weights).
+    train_bn: str = "batch"
     train_rois_per_image: int = 200
     roi_positive_ratio: float = 0.33
     rpn_train_anchors_per_image: int = 256

@@ -42,7 +42,8 @@ def init_classifier_head(key, num_classes: int, in_channels: int = 256,
 
 
 def apply_classifier_head(params, pooled, num_classes: int,
-                          dtype=jnp.bfloat16, with_logits: bool = False):
+                          dtype=jnp.bfloat16, with_logits: bool = False,
+                          bn_ctx=None):
     """(N, pool, pool, C) -> probs (N, num_classes) fp32,
     deltas (N, num_classes, 4) fp32 [, logits fp32 for training losses]."""
     n = pooled.shape[0]
@@ -54,16 +55,16 @@ def apply_classifier_head(params, pooled, num_classes: int,
     flat_k = k1["kernel"].reshape(-1, k1["kernel"].shape[-1])
     x = nn.dense(pooled.reshape(n, -1), {"kernel": flat_k, "bias": k1["bias"]},
                  dtype=dtype)
-    x = nn.relu(nn.batch_norm(x.astype(jnp.dtype(dtype)),
-                              params["mrcnn_class_bn1"]))  # (N, fc)
+    x = nn.relu(nn.bn_apply(x.astype(jnp.dtype(dtype)), params,
+                            "mrcnn_class_bn1", bn_ctx))  # (N, fc)
     # The 1x1 conv on a 1x1 spatial map IS a dense layer — skip the conv
     # lowering entirely.
     k2 = params["mrcnn_class_conv2"]
     x = nn.dense(x, {"kernel": k2["kernel"].reshape(k2["kernel"].shape[-2],
                                                     k2["kernel"].shape[-1]),
                      "bias": k2["bias"]}, dtype=dtype)
-    x = nn.relu(nn.batch_norm(x.astype(jnp.dtype(dtype)),
-                              params["mrcnn_class_bn2"]))
+    x = nn.relu(nn.bn_apply(x.astype(jnp.dtype(dtype)), params,
+                            "mrcnn_class_bn2", bn_ctx))
     shared = x  # (N, fc)
 
     logits = nn.dense(shared, params["mrcnn_class_logits"],
@@ -93,14 +94,14 @@ def init_mask_head(key, num_classes: int, in_channels: int = 256,
     return params
 
 
-def apply_mask_head(params, pooled, dtype=jnp.bfloat16):
+def apply_mask_head(params, pooled, dtype=jnp.bfloat16, bn_ctx=None):
     """(N, pool, pool, C) -> per-class sigmoid masks
     (N, 2*pool, 2*pool, num_classes) fp32."""
     x = pooled
     for i in range(1, 5):
         x = nn.conv2d(x, params[f"mrcnn_mask_conv{i}"], padding="SAME",
                       dtype=dtype)
-        x = nn.relu(nn.batch_norm(x, params[f"mrcnn_mask_bn{i}"]))
+        x = nn.relu(nn.bn_apply(x, params, f"mrcnn_mask_bn{i}", bn_ctx))
     x = nn.relu(nn.conv2d_transpose(x, params["mrcnn_mask_deconv"], stride=2,
                                     dtype=dtype))
     x = nn.conv2d(x, params["mrcnn_mask"], padding="VALID", dtype=dtype)

@@ -72,14 +72,15 @@ def preprocess(images: jnp.ndarray, config: MaskRCNNConfig) -> jnp.ndarray:
     return images.astype(jnp.float32) - mean
 
 
-def backbone_fpn(params, images, config: MaskRCNNConfig, dtype):
+def backbone_fpn(params, images, config: MaskRCNNConfig, dtype,
+                 bn_ctx=None):
     if config.architecture == "mobilenetv2":
         from maskrcnn_tpu.models import mobilenet
         c2, c3, c4, c5 = mobilenet.apply_mobilenetv2(
-            params, images, dtype=dtype)
+            params, images, dtype=dtype, bn_ctx=bn_ctx)
     else:
         c2, c3, c4, c5 = resnet.apply_resnet(
-            params, images, config.architecture, dtype=dtype)
+            params, images, config.architecture, dtype=dtype, bn_ctx=bn_ctx)
     return fpn.apply_fpn(params, c2, c3, c4, c5, dtype=dtype)
 
 

@@ -88,34 +88,35 @@ def init_mobilenetv2(key) -> nn.Params:
     return params
 
 
-def _block(x, params, base, t, cout, stride, dtype):
+def _block(x, params, base, t, cout, stride, dtype, bn_ctx):
     cin = x.shape[-1]
     y = x
     if t != 1:
         y = nn.conv2d(y, params[base + "_expand"], padding="VALID",
                       dtype=dtype)
-        y = relu6(nn.batch_norm(y, params[base + "_expand_bn"]))
+        y = relu6(nn.bn_apply(y, params, base + "_expand_bn", bn_ctx))
     y = depthwise_conv(y, params[base + "_dw"], stride=stride, dtype=dtype)
-    y = relu6(nn.batch_norm(y, params[base + "_dw_bn"]))
+    y = relu6(nn.bn_apply(y, params, base + "_dw_bn", bn_ctx))
     y = nn.conv2d(y, params[base + "_project"], padding="VALID", dtype=dtype)
-    y = nn.batch_norm(y, params[base + "_project_bn"])
+    y = nn.bn_apply(y, params, base + "_project_bn", bn_ctx)
     if stride == 1 and cin == cout:
         y = y + x
     return y
 
 
-def apply_mobilenetv2(params, images, dtype=jnp.bfloat16):
+def apply_mobilenetv2(params, images, dtype=jnp.bfloat16, bn_ctx=None):
     """(B, H, W, 3) preprocessed -> (C2, C3, C4, C5)."""
     x = images.astype(dtype)
     x = nn.conv2d(x, params["mbv2_stem"], stride=2, padding="SAME",
                   dtype=dtype)
-    x = relu6(nn.batch_norm(x, params["mbv2_stem_bn"]))
+    x = relu6(nn.bn_apply(x, params, "mbv2_stem_bn", bn_ctx))
 
     taps = {}
     for gi, (t, c, n, s) in enumerate(_GROUPS):
         for bi in range(n):
             stride = s if bi == 0 else 1
-            x = _block(x, params, f"mbv2_g{gi}b{bi}", t, c, stride, dtype)
+            x = _block(x, params, f"mbv2_g{gi}b{bi}", t, c, stride, dtype,
+                       bn_ctx)
         if gi in _TAPS:
             taps[_TAPS[gi]] = x
     return taps["c2"], taps["c3"], taps["c4"], taps["c5"]

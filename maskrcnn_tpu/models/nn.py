@@ -113,12 +113,47 @@ def conv2d_transpose(x, p: Params, *, stride=2, dtype=jnp.bfloat16):
     return y.astype(dtype)
 
 
-def batch_norm(x, p: Params, *, eps=1e-3):
-    """Inference-mode BN (Keras BatchNormalization default eps=1e-3)."""
-    scale = p["gamma"] * jax.lax.rsqrt(p["moving_variance"] + eps)
-    shift = p["beta"] - p["moving_mean"] * scale
-    y = x.astype(jnp.float32) * scale + shift
+def batch_norm(x, p: Params, *, eps=1e-3, use_batch_stats=False,
+               collect=None, name=None):
+    """BatchNormalization (Keras default eps=1e-3).
+
+    Inference mode (default) uses the stored moving statistics — correct for
+    pretrained weights and Matterport-style frozen-BN fine-tuning.
+
+    `use_batch_stats=True` normalizes with the CURRENT batch statistics —
+    required for training from scratch: with frozen (0, 1) stats the scale
+    mismatch (~12x at conv1) blows up beta/gamma until ReLU dies globally
+    (observed: a "converged" from-scratch run whose backbone output was
+    constant). `collect` (a dict) + `name` records the batch statistics so
+    `calibrate_bn_stats` can write fresh moving stats after training.
+    """
+    xf = x.astype(jnp.float32)
+    if use_batch_stats or collect is not None:
+        axes = tuple(range(xf.ndim - 1))
+        mean = jnp.mean(xf, axis=axes)
+        var = jnp.var(xf, axis=axes)
+        if collect is not None:
+            collect[name] = (mean, var)
+    if use_batch_stats:
+        use_mean, use_var = mean, var
+    else:
+        use_mean, use_var = p["moving_mean"], p["moving_variance"]
+    scale = p["gamma"] * jax.lax.rsqrt(use_var + eps)
+    shift = p["beta"] - use_mean * scale
+    y = xf * scale + shift
     return y.astype(x.dtype)
+
+
+def bn_apply(x, params: Params, name: str, bn_ctx=None):
+    """BN by layer name with an optional context:
+    bn_ctx = None (inference stats) or
+    {"use_batch_stats": bool, "collect": dict | None}."""
+    if bn_ctx is None:
+        return batch_norm(x, params[name])
+    return batch_norm(
+        x, params[name],
+        use_batch_stats=bn_ctx.get("use_batch_stats", False),
+        collect=bn_ctx.get("collect"), name=name)
 
 
 def dense(x, p: Params, *, dtype=jnp.bfloat16):

@@ -79,39 +79,40 @@ def init_resnet(key, architecture: str = "resnet101") -> nn.Params:
     return params
 
 
-def _bottleneck(x, params, stage, block, is_conv, stride, dtype):
+def _bottleneck(x, params, stage, block, is_conv, stride, dtype, bn_ctx):
     base = f"res{stage}{block}_branch"
     bnb = f"bn{stage}{block}_branch"
 
     y = nn.conv2d(x, params[base + "2a"], stride=stride, padding="VALID",
                   dtype=dtype)
-    y = nn.relu(nn.batch_norm(y, params[bnb + "2a"]))
+    y = nn.relu(nn.bn_apply(y, params, bnb + "2a", bn_ctx))
     y = nn.conv2d(y, params[base + "2b"], padding="SAME", dtype=dtype)
-    y = nn.relu(nn.batch_norm(y, params[bnb + "2b"]))
+    y = nn.relu(nn.bn_apply(y, params, bnb + "2b", bn_ctx))
     y = nn.conv2d(y, params[base + "2c"], padding="VALID", dtype=dtype)
-    y = nn.batch_norm(y, params[bnb + "2c"])
+    y = nn.bn_apply(y, params, bnb + "2c", bn_ctx)
 
     if is_conv:
         sc = nn.conv2d(x, params[base + "1"], stride=stride, padding="VALID",
                        dtype=dtype)
-        sc = nn.batch_norm(sc, params[bnb + "1"])
+        sc = nn.bn_apply(sc, params, bnb + "1", bn_ctx)
     else:
         sc = x
     return nn.relu(y + sc)
 
 
 def apply_resnet(params, images, architecture: str = "resnet101",
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, bn_ctx=None):
     """(B, H, W, 3) preprocessed images -> feature maps C2, C3, C4, C5."""
     x = images.astype(dtype)
     # conv1: ZeroPadding2D(3) + 7x7/2 valid == explicit (3,3) padding.
     x = nn.conv2d(x, params["conv1"], stride=2, padding=[(3, 3), (3, 3)],
                   dtype=dtype)
-    x = nn.relu(nn.batch_norm(x, params["bn_conv1"]))
+    x = nn.relu(nn.bn_apply(x, params, "bn_conv1", bn_ctx))
     x = nn.max_pool(x, 3, 2, padding="SAME")
 
     feats = {}
     for stage, block, is_conv, _, stride in _stage_blocks(architecture):
-        x = _bottleneck(x, params, stage, block, is_conv, stride, dtype)
+        x = _bottleneck(x, params, stage, block, is_conv, stride, dtype,
+                        bn_ctx)
         feats[stage] = x
     return feats[2], feats[3], feats[4], feats[5]

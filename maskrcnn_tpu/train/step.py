@@ -52,8 +52,10 @@ def compute_losses(params, batch: dict[str, jnp.ndarray],
     b = batch["images"].shape[0]
     image_hw = (config.image_height, config.image_width)
 
+    bn_ctx = ({"use_batch_stats": True} if config.train_bn == "batch"
+              else None)
     x = preprocess(batch["images"], config)
-    pyramid = backbone_fpn(params, x, config, dtype)
+    pyramid = backbone_fpn(params, x, config, dtype, bn_ctx=bn_ctx)
     rpn_logits, rpn_deltas = rpn_mod.apply_rpn(params, pyramid, dtype=dtype)
 
     gt_valid = batch["gt_class_ids"] > 0
@@ -83,6 +85,13 @@ def compute_losses(params, batch: dict[str, jnp.ndarray],
     rois, roi_valid = jax.vmap(propose, in_axes=(0, 0, None))(
         jax.lax.stop_gradient(fg), jax.lax.stop_gradient(rpn_deltas), anchors)
 
+    # Append GT boxes to the proposal pool for target sampling (the standard
+    # bootstrap: until the RPN produces high-IoU proposals, the heads would
+    # otherwise see no positives at all and learn pure background — observed
+    # as a converged-looking run that never detects anything).
+    rois = jnp.concatenate([rois, batch["gt_boxes"]], axis=1)
+    roi_valid = jnp.concatenate([roi_valid, gt_valid], axis=1)
+
     # --- sample proposals + targets ---------------------------------------
     sample = functools.partial(
         proposal_targets,
@@ -103,7 +112,7 @@ def compute_losses(params, batch: dict[str, jnp.ndarray],
     pooled = jax.vmap(lambda f, r: align_cls(f, r))(flat_pyr, tgt.rois)
     _, pred_deltas, cls_logits = heads_mod.apply_classifier_head(
         params, pooled.reshape((b * t,) + pooled.shape[2:]),
-        config.num_classes, dtype=dtype, with_logits=True)
+        config.num_classes, dtype=dtype, with_logits=True, bn_ctx=bn_ctx)
 
     flat_class = tgt.class_ids.reshape(b * t)
     loss_cls = L.mrcnn_class_loss(
@@ -118,7 +127,7 @@ def compute_losses(params, batch: dict[str, jnp.ndarray],
     mask_pooled = jax.vmap(lambda f, r: align_mask(f, r))(flat_pyr, tgt.rois)
     pred_masks = heads_mod.apply_mask_head(
         params, mask_pooled.reshape((b * t,) + mask_pooled.shape[2:]),
-        dtype=dtype)  # (B*T, m, m, C)
+        dtype=dtype, bn_ctx=bn_ctx)  # (B*T, m, m, C)
     loss_mask = L.mrcnn_mask_loss(
         pred_masks, tgt.masks.reshape(b * t, config.mask_size,
                                       config.mask_size), flat_class)
