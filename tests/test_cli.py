@@ -1,0 +1,105 @@
+"""CLI integration tests over a synthetic on-disk COCO workspace."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from maskrcnn_tpu.cli.main import main
+from maskrcnn_tpu.core.config import tiny_test_config
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    """Synthetic COCO dataset + model workspace, like a user would lay out."""
+    root = tmp_path_factory.mktemp("cliws")
+    os.makedirs(root / "data/coco/val2017")
+    rng = np.random.default_rng(3)
+    from PIL import Image
+
+    images, annotations = [], []
+    ann_id = 1
+    for img_id in (1, 2):
+        H, W = 120, 160
+        arr = rng.integers(0, 60, (H, W, 3), dtype=np.uint8)
+        x, y, w, h = 30, 25, 40, 50
+        arr[y:y + h, x:x + w] = [220, 40, 40]
+        Image.fromarray(arr).save(root / f"data/coco/val2017/{img_id:012d}.jpg")
+        images.append({"id": img_id, "width": W, "height": H,
+                       "file_name": f"{img_id:012d}.jpg"})
+        annotations.append({
+            "id": ann_id, "image_id": img_id, "category_id": 3,
+            "bbox": [x, y, w, h], "area": w * h, "iscrowd": 0,
+            "segmentation": [[x, y, x + w, y, x + w, y + h, x, y + h]]})
+        ann_id += 1
+    with open(root / "data/coco/instances_val2017.json", "w") as f:
+        json.dump({"images": images, "annotations": annotations,
+                   "categories": [{"id": 3, "name": "redbox"}]}, f)
+
+    ws = root / ".maskrcnn/models/t"
+    os.makedirs(ws)
+    cfg = tiny_test_config().replace(num_classes=2)
+    cfg.to_json(str(ws / "config.json"))
+
+    import jax
+    from maskrcnn_tpu.io.weights import save_h5_weights
+    from maskrcnn_tpu.models.mask_rcnn import init_mask_rcnn
+    save_h5_weights(init_mask_rcnn(jax.random.PRNGKey(0), cfg),
+                    str(ws / "weights.h5"))
+    return root
+
+
+@pytest.fixture(autouse=True)
+def _chdir(workspace, monkeypatch):
+    monkeypatch.chdir(workspace)
+
+
+def test_convert(workspace):
+    assert main(["convert", "t"]) == 0
+    prod = workspace / ".maskrcnn/models/t/products"
+    assert (prod / "checkpoint.npz").exists()
+    assert (prod / "anchors.bin").exists()
+    assert (prod / "config.json").exists()
+
+
+def test_evaluate(workspace, capsys):
+    rc = main(["evaluate", "t", "coco", "--limit", "2", "--batch", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "AP @[0.50:0.95]" in out and "[segm]" in out
+    assert (workspace / ".maskrcnn/tmp/results.json").exists()
+    assert (workspace / ".maskrcnn/tmp/results.pb").exists()
+
+
+def test_demo(workspace):
+    rc = main(["demo", "t", "data/coco/val2017/000000000001.jpg",
+               "-o", "out.png"])
+    assert rc == 0
+    assert (workspace / "out.png").exists()
+
+
+def test_stream(workspace, capsys):
+    rc = main(["stream", "t", "--num-frames", "4", "--micro-batch", "2"])
+    assert rc == 0
+    assert "fps" in capsys.readouterr().out
+
+
+def test_train_synthetic_smoke(workspace):
+    rc = main(["train", "t", "--synthetic", "--steps", "2", "--batch", "1",
+               "--no-calibrate", "--output", "ck.npz", "--state",
+               "st.msgpack"])
+    assert rc == 0
+    assert (workspace / "ck.npz").exists()
+    rc = main(["train", "t", "--synthetic", "--steps", "1", "--batch", "1",
+               "--no-calibrate", "--state", "st.msgpack", "--resume"])
+    assert rc == 0
+
+
+def test_download_fails_cleanly(workspace, capsys):
+    # Unresolvable host: clean failure message + exit code 1, no traceback
+    # (also keeps this test network-independent).
+    rc = main(["download", "probe", "--timeout", "3",
+               "--url", "https://nonexistent.invalid/weights.h5"])
+    assert rc == 1
+    assert "failed" in capsys.readouterr().err
