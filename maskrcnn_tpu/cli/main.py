@@ -2,7 +2,8 @@
 
 Mirrors the reference CLI surface (`Sources/maskrcnn/main.swift:4`:
 `maskrcnn {convert|evaluate|train|download}`) with the same subcommands plus
-`demo` and `bench`, minus all the Docker machinery — conversion and COCO
+`demo` and `stream`, minus all the Docker machinery (benchmarks live in
+repo-root `bench.py`) — conversion and COCO
 scoring run in-process (SURVEY.md §7 step 7).
 
     python -m maskrcnn_tpu.cli convert  <name> [--config ... --weights ...]

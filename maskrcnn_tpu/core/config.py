@@ -97,6 +97,11 @@ class MaskRCNNConfig:
                     f"divisible by backbone stride {s}")
         if c != 3:
             raise ValueError("input images must be RGB (C=3)")
+        if self.mask_size != 2 * self.mask_pool_size:
+            raise ValueError(
+                f"mask_size ({self.mask_size}) must be 2 * mask_pool_size "
+                f"({self.mask_pool_size}) — the mask head upsamples exactly "
+                "2x (TimeDistributedMaskLayer.swift:26-37 contract)")
 
     # --- derived ----------------------------------------------------------
     @property

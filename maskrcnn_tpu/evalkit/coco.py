@@ -42,6 +42,9 @@ class COCODataset:
         for ann in annotations.get("annotations", []):
             self.anns[int(ann["id"])] = ann
             self.anns_by_image.setdefault(int(ann["image_id"]), []).append(ann)
+        self._sorted_cat_ids = sorted(self.categories)
+        self._cat_to_class = {c: i + 1
+                              for i, c in enumerate(self._sorted_cat_ids)}
 
     @classmethod
     def from_file(cls, path: str) -> "COCODataset":
@@ -63,13 +66,13 @@ class COCODataset:
     # the Matterport convention the weights were trained with.
     @property
     def sorted_category_ids(self) -> list[int]:
-        return sorted(self.categories)
+        return self._sorted_cat_ids
 
     def class_id_for_category(self, category_id: int) -> int:
-        return self.sorted_category_ids.index(int(category_id)) + 1
+        return self._cat_to_class[int(category_id)]
 
     def category_for_class_id(self, class_id: int) -> int:
-        return self.sorted_category_ids[int(class_id) - 1]
+        return self._sorted_cat_ids[int(class_id) - 1]
 
     def class_label(self, class_id: int) -> str:
         if class_id == 0:

@@ -32,29 +32,35 @@ MAX_DETS = (1, 10, 100)
 
 def _img_ious(dataset: COCODataset, results_by_img, img_id, cat_id,
               iou_type: str):
+    """Returns (gts, dts, ious, dt_areas) — detection area follows
+    pycocotools' loadRes convention: bbox area for bbox eval, MASK area for
+    segm eval (a segm-only results file need not carry a bbox at all)."""
     gts = [a for a in dataset.annotations_for(img_id)
            if int(a["category_id"]) == cat_id]
     dts = [d for d in results_by_img.get(img_id, [])
            if int(d["category_id"]) == cat_id]
     dts = sorted(dts, key=lambda d: -d["score"])
-    if not gts or not dts:
-        return gts, dts, np.zeros((len(dts), len(gts)))
+    if not gts and not dts:
+        return gts, dts, np.zeros((0, 0)), []
     iscrowd = [bool(g.get("iscrowd", 0)) for g in gts]
     if iou_type == "bbox":
+        dt_areas = [float(d["bbox"][2]) * float(d["bbox"][3]) for d in dts]
         ious = M.iou_boxes(
-            np.asarray([d["bbox"] for d in dts], float),
-            np.asarray([g["bbox"] for g in gts], float), iscrowd)
+            np.asarray([d["bbox"] for d in dts], float).reshape(-1, 4),
+            np.asarray([g["bbox"] for g in gts], float).reshape(-1, 4),
+            iscrowd)
     else:
         im = dataset.images[img_id]
         g_rle = [M.from_coco_segmentation(g["segmentation"], im.height,
                                           im.width) for g in gts]
         d_rle = [M.from_coco_segmentation(d["segmentation"], im.height,
                                           im.width) for d in dts]
+        dt_areas = [float(M.area(r)) for r in d_rle]
         ious = M.iou_masks(d_rle, g_rle, iscrowd)
-    return gts, dts, ious
+    return gts, dts, ious, dt_areas
 
 
-def _evaluate_img(gts, dts, ious, area_rng, max_det):
+def _evaluate_img(gts, dts, ious, dt_areas, area_rng, max_det):
     """Greedy matching for one (image, category): returns per-dt match /
     ignore flags for every IoU threshold plus gt ignore flags."""
     t_n = len(IOU_THRS)
@@ -92,7 +98,7 @@ def _evaluate_img(gts, dts, ious, area_rng, max_det):
 
     a0, a1 = area_rng
     d_out_of_range = np.asarray(
-        [not (a0 <= _det_area(d) < a1) for d in dts], bool)
+        [not (a0 <= a < a1) for a in dt_areas[:max_det]], bool)
     d_ignore = np.zeros((t_n, d_n), bool)
     for ti in range(t_n):
         matched = dtm[ti] >= 0
@@ -110,11 +116,6 @@ def _evaluate_img(gts, dts, ious, area_rng, max_det):
 def _ann_area(g):
     b = g.get("bbox", [0, 0, 0, 0])
     return float(b[2] * b[3])
-
-
-def _det_area(d):
-    b = d["bbox"]
-    return float(b[2]) * float(b[3])
 
 
 class COCOEvaluator:
@@ -141,14 +142,14 @@ class COCOEvaluator:
         evals = {}
         for cat in self.cat_ids:
             for img in self.img_ids:
-                gts, dts, ious = _img_ious(
+                gts, dts, ious, dt_areas = _img_ious(
                     self.dataset, self.results_by_img, img, cat,
                     self.iou_type)
                 if not gts and not dts:
                     continue
                 for aname, arng in AREA_RNG.items():
                     evals[(cat, img, aname)] = _evaluate_img(
-                        gts, dts, ious, arng, max(MAX_DETS))
+                        gts, dts, ious, dt_areas, arng, max(MAX_DETS))
         self._evals = evals
         return self
 

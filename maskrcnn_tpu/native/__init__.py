@@ -65,9 +65,6 @@ def get_rle_lib():
                                        p_u32, p_i64, p_i64, i64, p_u8, p_f64]
         lib.bbox_iou_matrix.restype = None
         lib.bbox_iou_matrix.argtypes = [p_f64, i64, p_f64, i64, p_u8, p_f64]
-        lib.rle_merge_decode.restype = None
-        lib.rle_merge_decode.argtypes = [p_u32, p_i64, p_i64, i64, i64, i64,
-                                         p_u8]
         lib.poly_rasterize.restype = None
         lib.poly_rasterize.argtypes = [p_f64, i64, i64, i64, p_u8]
         _lib = lib

@@ -69,7 +69,3 @@ def box_iou(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
     valid = (area_a[:, None] > 0.0) & (area_b[None, :] > 0.0)
     return jnp.where(valid, iou, 0.0)
 
-
-def box_overlap_self(boxes: jnp.ndarray) -> jnp.ndarray:
-    """(N,4) -> (N,N) self-IoU, zero diagonal excluded (kept — callers mask)."""
-    return box_iou(boxes, boxes)

@@ -76,9 +76,12 @@ def nms_padded(
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
         from maskrcnn_tpu.ops.nms_pallas import nms_keep_pallas
+        # Honor the caller's tile_size, clamped to the kernel's VMEM-friendly
+        # range [128, 256] and rounded down to a lane multiple.
+        tile_pl = max(128, min((tile_size // 128) * 128, 256))
         keep = nms_keep_pallas(
             boxes, cand_all, float(iou_threshold), max_out,
-            tile_size=min(256, _round_up_static(n, 128)))
+            tile_size=min(tile_pl, _round_up_static(n, 128)))
         return _compact(keep, n, max_out, return_mask)
 
     pad = (-n) % tile_size

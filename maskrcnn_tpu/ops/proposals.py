@@ -75,21 +75,3 @@ def generate_proposals(
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
-
-
-def flatten_rpn_outputs(per_level_logits, per_level_deltas):
-    """Per-level RPN outputs -> flat anchor-ordered tensors.
-
-    Each level's logits are (H, W, anchors_per_loc * 2) and deltas
-    (H, W, anchors_per_loc * 4). Flattening (H, W, apl, ·) row-major matches
-    the anchor table ordering (levels outer, y/x row-major, ratio fastest —
-    `core/anchors.py` contract). Returns (A, 2) logits and (A, 4) deltas.
-    """
-    logits = []
-    deltas = []
-    for lg, dl in zip(per_level_logits, per_level_deltas):
-        h, w, c2 = lg.shape
-        apl = c2 // 2
-        logits.append(lg.reshape(h * w * apl, 2))
-        deltas.append(dl.reshape(h * w * apl, 4))
-    return jnp.concatenate(logits, axis=0), jnp.concatenate(deltas, axis=0)

@@ -81,6 +81,8 @@ class MaskRCNNDetector:
 
         `batch_size` pads the final chunk so only ONE jit program is compiled
         per configured size (None = one batch of len(images))."""
+        if not images:
+            return []
         size = self.config.image_height
         canvases, windows = [], []
         for img in images:

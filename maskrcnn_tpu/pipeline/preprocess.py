@@ -72,9 +72,3 @@ def letterbox_jax(image, size: int):
     canvas = jnp.zeros((size, size, 3), jnp.float32)
     return jax.lax.dynamic_update_slice(canvas, resized, (win.y1, win.x1, 0))
 
-
-def window_norm(win: LetterboxWindow, size: int) -> np.ndarray:
-    """The window as normalized (y1, x1, y2, x2) in canvas coordinates."""
-    s = size - 1
-    return np.array([win.y1 / s, win.x1 / s, (win.y2 - 1) / s,
-                     (win.x2 - 1) / s], np.float32)

@@ -74,8 +74,6 @@ class COCOTrainLoader:
         s = size - 1
         anns = self.dataset.annotations_for(image_id)[:g]
         for i, ann in enumerate(anns):
-            if ann.get("iscrowd", 0):
-                continue
             x, y, w, h = ann["bbox"]
             # original pixels -> canvas pixels -> normalized (Matterport
             # norm convention, matching core/anchors.norm_boxes)
@@ -84,8 +82,14 @@ class COCOTrainLoader:
             cy2 = (y + h) * win.scale + win.y1
             cx2 = (x + w) * win.scale + win.x1
             boxes[i] = [cy1 / s, cx1 / s, (cy2 - 1) / s, (cx2 - 1) / s]
-            classes[i] = self.dataset.class_id_for_category(
-                ann["category_id"])
+            cls = self.dataset.class_id_for_category(ann["category_id"])
+            if ann.get("iscrowd", 0):
+                # Crowd regions carry NEGATIVE class ids: excluded from
+                # matching, and overlapping anchors/proposals become neutral
+                # instead of hard negatives (see train/targets.py).
+                classes[i] = -cls
+                continue
+            classes[i] = cls
             if "segmentation" in ann:
                 masks[i] = minimask_from_annotation(
                     ann, im.height, im.width, self.config.mask_size)

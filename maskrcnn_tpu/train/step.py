@@ -68,7 +68,7 @@ def compute_losses(params, batch: dict[str, jnp.ndarray],
             train_anchors=config.rpn_train_anchors_per_image,
             bbox_std_dev=config.bbox_std_dev),
         in_axes=(None, 0, 0, 0))(
-        anchors, batch["gt_boxes"], gt_valid, keys[:, 0])
+        anchors, batch["gt_boxes"], batch["gt_class_ids"], keys[:, 0])
 
     loss_rpn_cls = jax.vmap(L.rpn_class_loss)(rpn_logits, rpn_t.labels).mean()
     loss_rpn_box = jax.vmap(L.rpn_bbox_loss)(

@@ -8,9 +8,11 @@ All "sampling" is fixed-size index selection via `top_k` over masked random
 scores, with validity masks instead of filtering.
 
 Ground truth arrives padded: boxes (G, 4) normalized y1x1y2x2, class ids
-(G,) int32 (0 = padding slot), and instance masks as mini-masks (G, M, M) in
-gt-box-relative coordinates (the memory-efficient convention — a full-size
-mask per instance would be 1024² each).
+(G,) int32 (0 = padding slot, NEGATIVE = crowd region — excluded from
+matching, and anchors/proposals overlapping a crowd are neutralized rather
+than trained as negatives, the Matterport convention), and instance masks as
+mini-masks (G, M, M) in gt-box-relative coordinates (the memory-efficient
+convention — a full-size mask per instance would be 1024² each).
 """
 
 from __future__ import annotations
@@ -53,25 +55,32 @@ class RPNTargets(NamedTuple):
 def rpn_targets(
     anchors: jnp.ndarray,
     gt_boxes: jnp.ndarray,
-    gt_valid: jnp.ndarray,
+    gt_class_ids: jnp.ndarray,
     key: jax.Array,
     *,
     train_anchors: int = 256,
     positive_fraction: float = 0.5,
     pos_iou: float = 0.7,
     neg_iou: float = 0.3,
+    crowd_iou: float = 0.001,
     bbox_std_dev=(0.1, 0.1, 0.2, 0.2),
 ) -> RPNTargets:
     """Label anchors against GT and subsample a balanced training set.
 
     Matterport semantics: an anchor is positive if IoU >= pos_iou with any
-    GT *or* it is the best anchor for some GT; negative if max IoU < neg_iou;
-    neutral otherwise. At most `train_anchors * positive_fraction` positives
-    are kept, and negatives fill the rest; unsampled anchors get label 0.
+    real GT *or* it is the best anchor for some GT; negative if max IoU <
+    neg_iou AND it does not overlap a crowd region (class id < 0) — crowd
+    anchors are neutral, never hard negatives; neutral otherwise. At most
+    `train_anchors * positive_fraction` positives are kept and negatives
+    back-fill to the full `train_anchors` quota when positives are scarce;
+    unsampled anchors get label 0.
     """
     a = anchors.shape[0]
-    iou = box_iou(anchors, gt_boxes)  # (A, G)
-    iou = iou * gt_valid[None, :].astype(iou.dtype)
+    full_iou = box_iou(anchors, gt_boxes)  # (A, G)
+    fg = (gt_class_ids > 0)[None, :]
+    crowd = (gt_class_ids < 0)[None, :]
+    iou = full_iou * fg.astype(full_iou.dtype)
+    crowd_overlap = jnp.max(full_iou * crowd.astype(full_iou.dtype), axis=1)
 
     max_iou = jnp.max(iou, axis=1)
     argmax_gt = jnp.argmax(iou, axis=1)
@@ -83,11 +92,11 @@ def rpn_targets(
         (iou >= per_gt_best - 1e-7) & (per_gt_best > 0.0), axis=1)
 
     pos = (max_iou >= pos_iou) | is_best_for_gt
-    neg = (max_iou < neg_iou) & ~pos
+    neg = (max_iou < neg_iou) & ~pos & (crowd_overlap < crowd_iou)
 
-    # Fixed-size balanced subsample via randomized top-k.
+    # Fixed-size balanced subsample via randomized top-k; negatives back-fill
+    # dynamically to train_anchors total when positives are scarce.
     k_pos = int(train_anchors * positive_fraction)
-    k_neg = train_anchors - k_pos
     kp, kn = jax.random.split(key)
     rand_p = jax.random.uniform(kp, (a,))
     rand_n = jax.random.uniform(kn, (a,))
@@ -95,9 +104,13 @@ def rpn_targets(
     pos_score = jnp.where(pos, rand_p, -1.0)
     neg_score = jnp.where(neg, rand_n, -1.0)
     _, pos_idx = jax.lax.top_k(pos_score, min(k_pos, a))
-    _, neg_idx = jax.lax.top_k(neg_score, min(k_neg, a))
     pos_sampled = jnp.zeros((a,), jnp.bool_).at[pos_idx].set(True) & pos
-    neg_sampled = jnp.zeros((a,), jnp.bool_).at[neg_idx].set(True) & neg
+    n_pos = jnp.sum(pos_sampled.astype(jnp.int32))
+
+    k_neg_max = min(train_anchors, a)
+    _, neg_idx = jax.lax.top_k(neg_score, k_neg_max)
+    take = jnp.arange(k_neg_max) < (train_anchors - n_pos)
+    neg_sampled = jnp.zeros((a,), jnp.bool_).at[neg_idx].set(take) & neg
 
     labels = jnp.where(pos_sampled, 1, jnp.where(neg_sampled, -1, 0))
 
@@ -118,12 +131,17 @@ class ProposalTargets(NamedTuple):
 
 def _crop_minimask(minimask, rel_box, out_size):
     """Bilinear-sample a (M, M) gt mini-mask at a roi box given in gt-box
-    relative coords -> (out, out). crop_and_resize grid, edge-clamped."""
+    relative coords -> (out, out). crop_and_resize grid with ZERO
+    extrapolation outside the gt box — edge-clamping would replicate the
+    (foreground-bearing, since COCO boxes are tight) border rows across any
+    ROI overhang and train the mask head to extend masks past objects."""
     m = minimask.shape[0]
     y1, x1, y2, x2 = rel_box[0], rel_box[1], rel_box[2], rel_box[3]
     steps = jnp.arange(out_size, dtype=jnp.float32) / max(out_size - 1, 1)
     ys = (y1 + steps * (y2 - y1)) * (m - 1)
     xs = (x1 + steps * (x2 - x1)) * (m - 1)
+    y_in = (ys >= 0.0) & (ys <= m - 1.0)
+    x_in = (xs >= 0.0) & (xs <= m - 1.0)
     ys = jnp.clip(ys, 0.0, m - 1.0)
     xs = jnp.clip(xs, 0.0, m - 1.0)
     y0 = jnp.floor(ys).astype(jnp.int32)
@@ -135,7 +153,8 @@ def _crop_minimask(minimask, rel_box, out_size):
     g = minimask.astype(jnp.float32)
     top = g[y0][:, x0] * (1 - wx)[None, :] + g[y0][:, x1i] * wx[None, :]
     bot = g[y1i][:, x0] * (1 - wx)[None, :] + g[y1i][:, x1i] * wx[None, :]
-    return top * (1 - wy)[:, None] + bot * wy[:, None]
+    out = top * (1 - wy)[:, None] + bot * wy[:, None]
+    return out * (y_in[:, None] & x_in[None, :])
 
 
 @functools.partial(
@@ -162,12 +181,17 @@ def proposal_targets(
     GT's class, encoded deltas, and the GT mini-mask cropped to the roi.
     """
     gt_valid = gt_class_ids > 0
-    iou = box_iou(proposals, gt_boxes) * gt_valid[None, :]
+    full_iou = box_iou(proposals, gt_boxes)
+    iou = full_iou * gt_valid[None, :]
+    crowd = (gt_class_ids < 0)[None, :]
+    crowd_overlap = jnp.max(full_iou * crowd.astype(full_iou.dtype), axis=1)
     max_iou = jnp.max(iou, axis=1)
     argmax_gt = jnp.argmax(iou, axis=1)
 
     pos = (max_iou >= pos_iou) & proposal_valid
-    neg = (max_iou < pos_iou) & proposal_valid
+    # proposals inside crowd regions are neither positives nor negatives
+    # (Matterport's crowd exclusion)
+    neg = (max_iou < pos_iou) & proposal_valid & (crowd_overlap < 0.001)
 
     k_pos = int(round(num_rois * positive_fraction))
     k_neg = num_rois - k_pos

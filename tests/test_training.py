@@ -40,14 +40,15 @@ def test_rpn_targets_sanity(rng):
     anchors = jnp.asarray(generate_anchors(cfg))
     boxes, classes, _ = make_gt(rng)
     t = rpn_targets(anchors, jnp.asarray(boxes),
-                    jnp.asarray(classes > 0), jax.random.PRNGKey(0),
+                    jnp.asarray(classes), jax.random.PRNGKey(0),
                     train_anchors=cfg.rpn_train_anchors_per_image)
     labels = np.asarray(t.labels)
     n_pos = (labels == 1).sum()
     n_neg = (labels == -1).sum()
     assert n_pos >= 1, "every GT must have at least one positive anchor"
     assert n_pos <= cfg.rpn_train_anchors_per_image // 2
-    assert n_pos + n_neg <= cfg.rpn_train_anchors_per_image
+    # negatives back-fill to the full quota (Matterport semantics)
+    assert n_pos + n_neg == cfg.rpn_train_anchors_per_image
     # positive anchors decode onto their GT within tolerance
     pos_idx = np.where(labels == 1)[0][:8]
     std = jnp.asarray(cfg.bbox_std_dev)
@@ -144,3 +145,43 @@ def test_freeze_heads_only(rng):
     assert not np.array_equal(
         np.asarray(state.params["rpn_conv_shared"]["kernel"]),
         np.asarray(new_state.params["rpn_conv_shared"]["kernel"]))
+
+
+def test_rpn_targets_crowd_neutral(rng):
+    cfg = tiny_test_config()
+    anchors = jnp.asarray(generate_anchors(cfg))
+    boxes, classes, _ = make_gt(rng)
+    # Mark GT 0 as a crowd region: anchors overlapping it must not become
+    # negatives (label 0, neutral), and it must produce no positives.
+    classes = classes.copy()
+    crowd_classes = classes.astype(np.int32)
+    crowd_classes[0] = -crowd_classes[0]
+    t = rpn_targets(anchors, jnp.asarray(boxes), jnp.asarray(crowd_classes),
+                    jax.random.PRNGKey(0),
+                    train_anchors=cfg.rpn_train_anchors_per_image)
+    labels = np.asarray(t.labels)
+    from maskrcnn_tpu.ops.boxes import box_iou
+    crowd_iou = np.asarray(box_iou(anchors, jnp.asarray(boxes[:1])))[:, 0]
+    overlapping = crowd_iou >= 0.001
+    assert not (labels[overlapping] == -1).any(), \
+        "crowd-overlapping anchors must never be negatives"
+
+
+def test_proposal_targets_crowd_excluded(rng):
+    cfg = tiny_test_config()
+    boxes, classes, masks = make_gt(rng, num_classes=cfg.num_classes)
+    crowd_classes = classes.astype(np.int32).copy()
+    crowd_classes[0] = -crowd_classes[0]
+    # proposals: one inside the crowd box, one far away
+    props = np.stack([boxes[0], [0.85, 0.85, 0.95, 0.95]]).astype(np.float32)
+    t = proposal_targets(
+        jnp.asarray(props), jnp.ones(2, bool), jnp.asarray(boxes),
+        jnp.asarray(crowd_classes), jnp.asarray(masks),
+        jax.random.PRNGKey(1), num_rois=8, positive_fraction=0.5,
+        mask_size=28)
+    ok = np.asarray(t.roi_valid)
+    rois = np.asarray(t.rois)
+    # the crowd-covering proposal must not be sampled as a negative
+    for slot in range(len(ok)):
+        if ok[slot] and not np.asarray(t.positive)[slot]:
+            assert not np.allclose(rois[slot], boxes[0], atol=1e-5)
