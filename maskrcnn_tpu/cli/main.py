@@ -350,9 +350,23 @@ def cmd_stream(args) -> int:
                                 np.float32))
 
     counts = []
+    if args.device_paste:
+        from maskrcnn_tpu.pipeline.paste import paste_masks_device
+
+        def on_result(i, out):
+            # full-resolution boolean masks pasted ON DEVICE (BASELINE's
+            # streaming config: persistent pipeline + on-device pasting)
+            pasted = paste_masks_device(
+                out["masks"][0], out["detections"][0, :, :4],
+                out["valid"][0], size)
+            counts.append(int(out["valid"].sum()))
+            del pasted  # consumers would device-get or render here
+    else:
+        def on_result(i, out):
+            counts.append(int(out["valid"].sum()))
+
     stats = run_stream(
-        detector, frames,
-        on_result=lambda i, out: counts.append(int(out["valid"].sum())),
+        detector, frames, on_result=on_result,
         micro_batch=args.micro_batch)
     print(f"{stats.frames} frames in {stats.wall_s:.2f}s -> "
           f"{stats.fps:.1f} fps, p50 latency {stats.p50_latency_ms:.1f} ms, "
@@ -454,6 +468,8 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--frames-dir", help="directory of frames (else synthetic)")
     st.add_argument("--num-frames", type=int, default=64)
     st.add_argument("--micro-batch", type=int, default=1)
+    st.add_argument("--device-paste", action="store_true",
+                    help="paste full-resolution masks on device per frame")
     st.add_argument("--config")
     st.add_argument("--weights")
     st.set_defaults(fn=cmd_stream)
