@@ -77,8 +77,9 @@ def nms_padded(
     if impl == "pallas":
         from maskrcnn_tpu.ops.nms_pallas import nms_keep_pallas
         # Honor the caller's tile_size, clamped to the kernel's VMEM-friendly
-        # range [128, 256] and rounded down to a lane multiple.
-        tile_pl = max(128, min((tile_size // 128) * 128, 256))
+        # range [128, 512] and rounded down to a lane multiple (512 measured
+        # fastest at the 6k-proposal size; larger tiles blow scoped VMEM).
+        tile_pl = max(128, min((tile_size // 128) * 128, 512))
         keep = nms_keep_pallas(
             boxes, cand_all, float(iou_threshold), max_out,
             tile_size=min(tile_pl, _round_up_static(n, 128)))
