@@ -48,6 +48,16 @@ class MaskRCNNConfig:
     max_proposals: int = 1000
     proposal_nms_threshold: float = 0.7
     bbox_std_dev: tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)
+    # Pre-NMS top-k selection: recall target for `lax.approx_max_k`, or None
+    # for exact `lax.top_k`. On TPU the exact variadic sort over 262k anchor
+    # scores costs ~200 ms at batch 32 where the PartialReduce-based
+    # approx_max_k costs ~9 ms at measured recall 1.0000 (and the returned
+    # candidates are still exactly sorted). Non-TPU backends lower
+    # approx_max_k to the exact op, so CPU oracle tests are bit-identical
+    # either way. The reference's own top-6000 cut is tie-arbitrary
+    # (saturated fp32 softmax scores — ProposalLayer.swift:131-134), so a
+    # >=0.999-recall cut at rank 6000 is within its semantics.
+    proposal_topk_recall: float | None = 0.999
 
     # --- detection stage (reference DetectionLayer.swift:55-61) -----------
     max_detections: int = 100

@@ -132,7 +132,8 @@ def forward(
         bbox_std_dev=config.bbox_std_dev,
         pre_nms_max_proposals=config.pre_nms_max_proposals,
         max_proposals=config.max_proposals,
-        nms_threshold=config.proposal_nms_threshold)
+        nms_threshold=config.proposal_nms_threshold,
+        topk_recall=config.proposal_topk_recall)
     with stage("proposals"):
         rois, roi_valid = jax.vmap(propose, in_axes=(0, 0, None))(
             fg_scores, rpn_deltas, anchors)  # (B, R, 4)

@@ -48,7 +48,8 @@ def _collect_stats(params, images, anchors, config: MaskRCNNConfig):
         bbox_std_dev=config.bbox_std_dev,
         pre_nms_max_proposals=config.pre_nms_max_proposals,
         max_proposals=config.max_proposals,
-        nms_threshold=config.proposal_nms_threshold)
+        nms_threshold=config.proposal_nms_threshold,
+        topk_recall=config.proposal_topk_recall)
     rois, _ = jax.vmap(propose, in_axes=(0, 0, None))(fg, rpn_deltas, anchors)
 
     flat_pyr = jax.vmap(lambda *f: build_flat_pyramid(f))(*pyramid[:4])

@@ -81,7 +81,8 @@ def compute_losses(params, batch: dict[str, jnp.ndarray],
         bbox_std_dev=config.bbox_std_dev,
         pre_nms_max_proposals=config.pre_nms_max_proposals,
         max_proposals=config.max_proposals,
-        nms_threshold=config.proposal_nms_threshold)
+        nms_threshold=config.proposal_nms_threshold,
+        topk_recall=config.proposal_topk_recall)
     rois, roi_valid = jax.vmap(propose, in_axes=(0, 0, None))(
         jax.lax.stop_gradient(fg), jax.lax.stop_gradient(rpn_deltas), anchors)
 
