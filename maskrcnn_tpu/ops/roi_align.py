@@ -115,6 +115,14 @@ def build_flat_pyramid(features: Sequence[jnp.ndarray]) -> FlatPyramid:
     # ("one fusion, less traffic" in theory) measured ~17 ms SLOWER at batch
     # 32 on v5e than this flat+roll+concat chain — XLA fuses roll-of-concat
     # into the final concat write better than concat-of-concats. Keep flat.
+    # Formulation space, measured END-TO-END at batch 32 on v5e via fused
+    # ablation cuts with chained-readback timing (gathers are index-bound at
+    # ~14 ns/index; build traffic rides HBM at ~340 GB/s):
+    #   wide pairs, 2 gathers x 1KB/position + 2.85GB build   -> 75 ms  WINNER
+    #   no table,   4 gathers x 512B/position, zero build     -> 98 ms
+    #   bf16 quad,  1 gather x 2KB/position + 5.7GB build     -> 109 ms
+    #   int8 quad   (earlier round)                           -> slower still
+    #   per-level wide build ("one fusion")                   -> +17 ms vs flat
     flat = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
     wide = jnp.concatenate([flat, jnp.roll(flat, -1, axis=0)], axis=1)
     heights = jnp.asarray([f.shape[0] for f in features], jnp.float32)
