@@ -94,9 +94,19 @@ def init_mask_head(key, num_classes: int, in_channels: int = 256,
     return params
 
 
-def apply_mask_head(params, pooled, dtype=jnp.bfloat16, bn_ctx=None):
+def apply_mask_head(params, pooled, dtype=jnp.bfloat16, bn_ctx=None,
+                    class_ids=None):
     """(N, pool, pool, C) -> per-class sigmoid masks
-    (N, 2*pool, 2*pool, num_classes) fp32."""
+    (N, 2*pool, 2*pool, num_classes) fp32.
+
+    With `class_ids` (N,) int32, fuses the per-detection class-channel
+    select (`TimeDistributedMaskLayer.swift:71-75`) INTO the final 1x1
+    conv: only the detected class's 256-weight column is applied per ROI,
+    returning (N, 2*pool, 2*pool) fp32 directly. Identical math to
+    computing all num_classes channels and gathering one, but never
+    materializes the (N, 2p, 2p, num_classes) tensor (813 MB fp32 at
+    batch 32 x 100 detections) — the inference path always knows the
+    class before the mask head runs."""
     x = pooled
     for i in range(1, 5):
         x = nn.conv2d(x, params[f"mrcnn_mask_conv{i}"], padding="SAME",
@@ -104,5 +114,14 @@ def apply_mask_head(params, pooled, dtype=jnp.bfloat16, bn_ctx=None):
         x = nn.relu(nn.bn_apply(x, params, f"mrcnn_mask_bn{i}", bn_ctx))
     x = nn.relu(nn.conv2d_transpose(x, params["mrcnn_mask_deconv"], stride=2,
                                     dtype=dtype))
+    if class_ids is not None:
+        k = params["mrcnn_mask"]  # kernel (1,1,C,num_classes), bias (nc,)
+        kern = k["kernel"].reshape(k["kernel"].shape[-2],
+                                   k["kernel"].shape[-1])
+        w = jnp.take(kern, class_ids, axis=1).T.astype(jnp.dtype(dtype))
+        b = jnp.take(k["bias"], class_ids)  # (N,)
+        logits = jnp.einsum("nhwc,nc->nhw", x.astype(jnp.dtype(dtype)), w,
+                            preferred_element_type=jnp.float32)
+        return jax.nn.sigmoid(logits + b[:, None, None])
     x = nn.conv2d(x, params["mrcnn_mask"], padding="VALID", dtype=dtype)
     return jax.nn.sigmoid(x.astype(jnp.float32))

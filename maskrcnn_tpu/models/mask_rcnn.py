@@ -176,17 +176,15 @@ def forward(
             flat_pyr, det_boxes)
 
     d = config.max_detections
-    with stage("mask_head"):
-        mask_all = heads.apply_mask_head(
-            params, mask_pooled.reshape((b * d,) + mask_pooled.shape[2:]),
-            dtype=dtype)  # (B*D, 2p, 2p, num_classes)
-    mask_all = mask_all.reshape(b, d, config.mask_size, config.mask_size,
-                                config.num_classes)
-
     # Per-detection class channel select (TimeDistributedMaskLayer.swift:71-75)
+    # fused into the head's final 1x1 conv — only the detected class's mask
+    # is ever computed.
     class_ids = detections[..., 4].astype(jnp.int32)  # (B, D)
-    masks = jnp.take_along_axis(
-        mask_all, class_ids[:, :, None, None, None], axis=-1)[..., 0]
+    with stage("mask_head"):
+        masks = heads.apply_mask_head(
+            params, mask_pooled.reshape((b * d,) + mask_pooled.shape[2:]),
+            dtype=dtype, class_ids=class_ids.reshape(b * d))
+    masks = masks.reshape(b, d, config.mask_size, config.mask_size)
     masks = masks * det_valid[:, :, None, None].astype(masks.dtype)
 
     out = {

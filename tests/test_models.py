@@ -111,3 +111,25 @@ def test_full_forward_smoke(rng):
     # Determinism: same input twice -> bitwise-identical detections.
     out2 = forward(params, images, anchors, cfg)
     np.testing.assert_array_equal(det, np.asarray(out2["detections"]))
+
+
+def test_mask_head_fused_class_select_matches_gather(rng):
+    """The class_ids-fused final 1x1 conv must equal computing all class
+    channels and gathering (TimeDistributedMaskLayer.swift:71-75)."""
+    from maskrcnn_tpu.models import heads
+
+    num_classes, n, pool, c = 7, 12, 14, 32
+    params = heads.init_mask_head(jax.random.PRNGKey(3), num_classes,
+                                  in_channels=c, channels=c)
+    pooled = jnp.asarray(rng.standard_normal((n, pool, pool, c)), jnp.float32)
+    class_ids = jnp.asarray(rng.integers(0, num_classes, n), jnp.int32)
+
+    all_masks = heads.apply_mask_head(params, pooled, dtype=jnp.float32)
+    gathered = np.take_along_axis(
+        np.asarray(all_masks), np.asarray(class_ids)[:, None, None, None],
+        axis=-1)[..., 0]
+    fused = heads.apply_mask_head(params, pooled, dtype=jnp.float32,
+                                  class_ids=class_ids)
+    assert fused.shape == (n, 2 * pool, 2 * pool)
+    np.testing.assert_allclose(np.asarray(fused), gathered,
+                               rtol=1e-5, atol=1e-6)
