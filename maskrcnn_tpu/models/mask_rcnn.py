@@ -138,16 +138,28 @@ def forward(
         rois, roi_valid = jax.vmap(propose, in_axes=(0, 0, None))(
             fg_scores, rpn_deltas, anchors)  # (B, R, 4)
 
-    # P2..P5 feed ROIAlign; the widened flat table is built ONCE per image
-    # and shared by the classifier (pool 7) and mask (pool 14) crops.
-    with stage("flat_pyramid"):
-        flat_pyr = jax.vmap(lambda *f: build_flat_pyramid(f))(*pyramid[:4])
-
-    align_cls = functools.partial(
-        pyramid_roi_align_flat, crop_size=config.pool_size,
-        image_shape=image_hw, canonical_scale=config.roi_canonical_scale)
-    with stage("roi_align_classifier"):
-        pooled = jax.vmap(lambda f, r: align_cls(f, r))(flat_pyr, rois)
+    # P2..P5 feed ROIAlign. On TPU the Pallas strip-DMA kernel reads a
+    # row-stacked pyramid built once and shared by both aligns
+    # (ops/roi_align_pallas.py); elsewhere the XLA gather path shares a
+    # widened flat pair table.
+    use_pallas_align = jax.default_backend() == "tpu"
+    if use_pallas_align:
+        from maskrcnn_tpu.ops.roi_align_pallas import (
+            pyramid_roi_align_pallas, stack_pyramid)
+        with stage("stack_pyramid"):
+            stacked = stack_pyramid(pyramid[:4])
+        with stage("roi_align_classifier"):
+            pooled = pyramid_roi_align_pallas(
+                stacked, rois, config.pool_size, image_hw,
+                config.roi_canonical_scale)
+    else:
+        with stage("flat_pyramid"):
+            flat_pyr = jax.vmap(lambda *f: build_flat_pyramid(f))(*pyramid[:4])
+        align_cls = functools.partial(
+            pyramid_roi_align_flat, crop_size=config.pool_size,
+            image_shape=image_hw, canonical_scale=config.roi_canonical_scale)
+        with stage("roi_align_classifier"):
+            pooled = jax.vmap(lambda f, r: align_cls(f, r))(flat_pyr, rois)
     # (B, R, pool, pool, C) -> heads run dense over B*R
 
     r = config.max_proposals
@@ -168,12 +180,18 @@ def forward(
         detections, det_valid, _ = jax.vmap(refine)(rois, probs, deltas)
 
     det_boxes = detections[..., :4]  # (B, D, 4)
-    align_mask = functools.partial(
-        pyramid_roi_align_flat, crop_size=config.mask_pool_size,
-        image_shape=image_hw, canonical_scale=config.roi_canonical_scale)
-    with stage("roi_align_mask"):
-        mask_pooled = jax.vmap(lambda f, r_: align_mask(f, r_))(
-            flat_pyr, det_boxes)
+    if use_pallas_align:
+        with stage("roi_align_mask"):
+            mask_pooled = pyramid_roi_align_pallas(
+                stacked, det_boxes, config.mask_pool_size, image_hw,
+                config.roi_canonical_scale)
+    else:
+        align_mask = functools.partial(
+            pyramid_roi_align_flat, crop_size=config.mask_pool_size,
+            image_shape=image_hw, canonical_scale=config.roi_canonical_scale)
+        with stage("roi_align_mask"):
+            mask_pooled = jax.vmap(lambda f, r_: align_mask(f, r_))(
+                flat_pyr, det_boxes)
 
     d = config.max_detections
     # Per-detection class channel select (TimeDistributedMaskLayer.swift:71-75)
