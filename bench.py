@@ -67,7 +67,9 @@ def main() -> int:
 
     def run():
         out = forward(params, images, anchors, config)
-        jax.block_until_ready((out["detections"], out["masks"]))
+        # Hard sync via host readback: block_until_ready over a tunneled
+        # device has been observed to return before execution finishes.
+        np.asarray(out["detections"][0, 0])
         return out
 
     t0 = time.perf_counter()
@@ -92,7 +94,7 @@ def main() -> int:
     out = None
     for _ in range(args.iters):
         out = forward(params, images, anchors, config)
-    jax.block_until_ready((out["detections"], out["masks"]))
+    np.asarray(out["detections"][0, 0])  # hard sync (see run())
     pipelined = (time.perf_counter() - t0) / args.iters
 
     img_per_s = batch / pipelined
@@ -139,7 +141,7 @@ def _bench_train(args, config, params, anchors, images, batch):
 
     def run(st):
         st, metrics = train_step(st, batch_data, anchors, key, config, txm)
-        jax.block_until_ready(metrics["loss"])
+        np.asarray(metrics["loss"])  # hard sync via host readback
         return st
 
     t0 = time.perf_counter()

@@ -116,9 +116,29 @@ def apply_resnet(params, images, architecture: str = "resnet101",
         x = nn.relu(nn.bn_apply(x, params, "bn_conv1", bn_ctx))
         x = nn.max_pool(x, 3, 2, padding="SAME")
 
+    from maskrcnn_tpu.ops import bottleneck_pallas as bp
+    fused_chains = {}
+    if bp.chain_supported(x.shape, dtype, bn_ctx):
+        # Fuse the shallow wide stages (res2 fully; res3 minus its stride-2
+        # entry): their convs are HBM-round-trip bound in XLA (26 ms vs a
+        # ~5 ms floor for res2 at batch 32 / 1024^2). res4/res5 already run
+        # at 90%+ MXU efficiency — the XLA path is optimal there.
+        fused_chains = {(2, "a"): ("abc", 64), (3, "b"): ("bcd", 32)}
+
     feats = {}
+    skip = set()
     for stage, block, is_conv, _, stride in _stage_blocks(architecture):
-        x = _bottleneck(x, params, stage, block, is_conv, stride, dtype,
-                        bn_ctx)
+        if (stage, block) in skip:
+            continue
+        chain = fused_chains.get((stage, block))
+        if chain:
+            letters, tile_rows = chain
+            x = bp.fused_bottleneck_chain(
+                x, bp.fold_bottleneck_chain(params, stage, letters),
+                tile_rows=tile_rows)
+            skip.update((stage, l) for l in letters)
+        else:
+            x = _bottleneck(x, params, stage, block, is_conv, stride, dtype,
+                            bn_ctx)
         feats[stage] = x
     return feats[2], feats[3], feats[4], feats[5]
