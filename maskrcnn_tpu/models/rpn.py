@@ -37,6 +37,13 @@ def apply_rpn_level(params, feature, dtype=jnp.bfloat16):
     32) is read once instead of twice. Weights stay separate in the params
     dict (Matterport naming contract); the concat is a 512x18 reshuffle XLA
     hoists out of the hot loop.
+
+    NOTE(perf, negative result): a fused Pallas kernel (3x3 conv as
+    accumulated/im2col matmuls + relu + head matmul per row tile, shared
+    activation VMEM-only) measured 60-64 ms at batch 32 vs 49.7 ms for this
+    XLA path — XLA's conv runs at ~67% MXU here and the kernel's f32
+    roll/cast tap construction cost more than the 2.1 GB x 2 HBM round
+    trip it removed. Reverted; see git history.
     """
     b, h, w, _ = feature.shape
     shared = nn.relu(nn.conv2d(feature, params["rpn_conv_shared"],

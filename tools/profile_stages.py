@@ -14,13 +14,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(out):
+    # Host readback: block_until_ready over a tunneled device can return
+    # before execution finishes.
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.reshape(-1)[0])
+
+
 def timeit(fn, *args, iters=10):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters, out
 
 
@@ -77,9 +84,20 @@ def main():
     print(f"  - top_k 262k->6k  : {t_topk*1000:8.2f} ms")
 
     feats = tuple(pyramid[:4])
-    align = functools.partial(pyramid_roi_align, crop_size=7,
-                              image_shape=image_hw)
-    stage_align = jax.jit(jax.vmap(lambda f, r: align(f, r)))
+    if jax.default_backend() == "tpu":
+        from maskrcnn_tpu.ops.roi_align_pallas import (
+            pyramid_roi_align_pallas, stack_pyramid)
+        stage_align = jax.jit(lambda f, r: pyramid_roi_align_pallas(
+            stack_pyramid(f), r, 7, image_hw))
+        align_m_fn = jax.jit(lambda f, r: pyramid_roi_align_pallas(
+            stack_pyramid(f), r, 14, image_hw))
+    else:
+        align = functools.partial(pyramid_roi_align, crop_size=7,
+                                  image_shape=image_hw)
+        stage_align = jax.jit(jax.vmap(lambda f, r: align(f, r)))
+        align_m = functools.partial(pyramid_roi_align, crop_size=14,
+                                    image_shape=image_hw)
+        align_m_fn = jax.jit(jax.vmap(lambda f, r: align_m(f, r)))
     t_align, pooled = timeit(stage_align, feats, rois)
     print(f"roi_align pool7     : {t_align*1000:8.2f} ms")
 
@@ -95,16 +113,14 @@ def main():
     t_det, (dets, dvalid, _) = timeit(stage_det, rois, probs, cdeltas)
     print(f"detection layer     : {t_det*1000:8.2f} ms")
 
-    align_m = functools.partial(pyramid_roi_align, crop_size=14,
-                                image_shape=image_hw)
-    stage_alignm = jax.jit(jax.vmap(lambda f, r: align_m(f, r)))
-    t_alm, mpool = timeit(stage_alignm, feats, dets[..., :4])
+    t_alm, mpool = timeit(align_m_fn, feats, dets[..., :4])
     print(f"roi_align pool14    : {t_alm*1000:8.2f} ms")
 
-    stage_mask = jax.jit(lambda p, x: heads.apply_mask_head(
-        p, x.reshape((-1,) + x.shape[2:]), dtype=dtype))
-    t_mask, _ = timeit(stage_mask, params, mpool)
-    print(f"mask head           : {t_mask*1000:8.2f} ms")
+    cls_ids = dets[..., 4].astype(jnp.int32).reshape(-1)
+    stage_mask = jax.jit(lambda p, x, ci: heads.apply_mask_head(
+        p, x.reshape((-1,) + x.shape[2:]), dtype=dtype, class_ids=ci))
+    t_mask, _ = timeit(stage_mask, params, mpool, cls_ids)
+    print(f"mask head (fused sel): {t_mask*1000:7.2f} ms")
 
     total = (t_bb + t_rpn + t_prop + t_align + t_cls + t_det + t_alm
              + t_mask)
