@@ -190,8 +190,11 @@ def fused_bottleneck_chain(x, blocks, tile_rows: int = 32,
     """
     b, hh, ww, cin = x.shape
     n = len(blocks)
+    # Largest row-tile <= tile_rows that divides H (legal /32 image sizes
+    # can give H = 208 etc. where the preferred tile doesn't divide).
     tr = min(tile_rows, hh)
-    assert hh % tr == 0, (hh, tr)
+    while hh % tr:
+        tr -= 1
     cout = blocks[-1]["w3"].shape[-1]
     has_proj = tuple("ws" in blk for blk in blocks)
 
@@ -229,13 +232,11 @@ def fused_bottleneck_chain(x, blocks, tile_rows: int = 32,
     return out
 
 
-def chain_supported(x_shape, dtype, bn_ctx, tile_rows: int = 32) -> bool:
-    """Inference-mode bf16 on TPU with a row-tileable height."""
+def chain_supported(x_shape, dtype, bn_ctx) -> bool:
+    """Inference-mode bf16 on TPU (any height: the row tile adapts)."""
     import os
     if os.environ.get("MRT_NO_CHAIN_KERNEL"):
         return False
     if bn_ctx is not None or dtype != jnp.bfloat16:
         return False
-    hh = x_shape[1]
-    return (hh % min(tile_rows, hh) == 0
-            and jax.default_backend() == "tpu")
+    return x_shape[1] >= 8 and jax.default_backend() == "tpu"

@@ -64,3 +64,26 @@ def test_chain_matches_xla_blocks(rng, tile_rows):
     # tolerance is bf16-grade relative to the activation scale.
     scale = np.abs(want).max()
     np.testing.assert_allclose(got, want, atol=0.03 * scale, rtol=0.05)
+
+
+def test_chain_adapts_tile_to_awkward_height(rng):
+    """H=40 with preferred tile 32 -> auto-shrinks to a divisor (20)."""
+    stage, cin, mid, cout = 3, 16, 8, 16
+    params = make_stage_params(rng, jax.random.PRNGKey(2), stage, cin, mid,
+                               cout, "bc")
+    # identity blocks only: drop the projection entry
+    for k in ("res3b_branch1", "bn3b_branch1"):
+        params.pop(k, None)
+    x = jnp.asarray(rng.standard_normal((1, 40, 16, cin)), jnp.float32)
+
+    want = x.astype(jnp.bfloat16)
+    for letter in "bc":
+        want = _bottleneck(want, params, stage, letter, False, 1,
+                           jnp.bfloat16, None)
+    want = np.asarray(want.astype(jnp.float32))
+
+    blocks = fold_bottleneck_chain(params, stage, "bc")
+    got = np.asarray(fused_bottleneck_chain(
+        x, blocks, tile_rows=32, interpret=True).astype(jnp.float32))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=0.03 * scale, rtol=0.05)
