@@ -73,14 +73,18 @@ def preprocess(images: jnp.ndarray, config: MaskRCNNConfig) -> jnp.ndarray:
 
 
 def backbone_fpn(params, images, config: MaskRCNNConfig, dtype,
-                 bn_ctx=None):
+                 bn_ctx=None, inference: bool = True):
+    """`inference=False` (training/calibration) keeps every op on the
+    differentiable XLA path — the fused Pallas kernels have no autodiff
+    rule, and gating on bn_ctx alone would break frozen-BN fine-tuning."""
     if config.architecture == "mobilenetv2":
         from maskrcnn_tpu.models import mobilenet
         c2, c3, c4, c5 = mobilenet.apply_mobilenetv2(
             params, images, dtype=dtype, bn_ctx=bn_ctx)
     else:
         c2, c3, c4, c5 = resnet.apply_resnet(
-            params, images, config.architecture, dtype=dtype, bn_ctx=bn_ctx)
+            params, images, config.architecture, dtype=dtype, bn_ctx=bn_ctx,
+            inference=inference)
     return fpn.apply_fpn(params, c2, c3, c4, c5, dtype=dtype)
 
 

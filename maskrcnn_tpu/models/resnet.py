@@ -101,10 +101,14 @@ def _bottleneck(x, params, stage, block, is_conv, stride, dtype, bn_ctx):
 
 
 def apply_resnet(params, images, architecture: str = "resnet101",
-                 dtype=jnp.bfloat16, bn_ctx=None):
-    """(B, H, W, 3) preprocessed images -> feature maps C2, C3, C4, C5."""
+                 dtype=jnp.bfloat16, bn_ctx=None, inference: bool = True):
+    """(B, H, W, 3) preprocessed images -> feature maps C2, C3, C4, C5.
+
+    `inference=False` disables the fused Pallas kernels (no autodiff rule)
+    regardless of BN mode — required for frozen-BN fine-tuning, where
+    bn_ctx is None but gradients still flow through the backbone."""
     from maskrcnn_tpu.ops import stem_pallas
-    if stem_pallas.stem_supported(images.shape, dtype, bn_ctx):
+    if inference and stem_pallas.stem_supported(images.shape, dtype, bn_ctx):
         # Fused Pallas stem: conv1+BN+ReLU+maxpool in one kernel (~18 ms ->
         # ~5 ms at batch 32 on v5e); inference-mode only (frozen BN).
         x = stem_pallas.apply_stem_pallas(params, images)
@@ -118,7 +122,7 @@ def apply_resnet(params, images, architecture: str = "resnet101",
 
     from maskrcnn_tpu.ops import bottleneck_pallas as bp
     fused_chains = {}
-    if bp.chain_supported(x.shape, dtype, bn_ctx):
+    if inference and bp.chain_supported(x.shape, dtype, bn_ctx):
         # Fuse the shallow wide stages (res2 fully; res3 minus its stride-2
         # entry): their convs are HBM-round-trip bound in XLA (26 ms vs a
         # ~5 ms floor for res2 at batch 32 / 1024^2). res4/res5 already run

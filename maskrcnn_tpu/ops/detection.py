@@ -32,6 +32,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from maskrcnn_tpu.ops.common import round_up
+
 from maskrcnn_tpu.ops.boxes import apply_box_deltas, clip_boxes
 from maskrcnn_tpu.ops.nms import nms_padded
 
@@ -97,7 +99,7 @@ def refine_detections(
     offset = s_class.astype(jnp.float32)[:, None] * _CLASS_STRIDE
     nms_idx, valid = nms_padded(
         s_boxes + offset, s_cand, nms_threshold, max_detections,
-        tile_size=min(nms_tile, _round_up(r, 128)))
+        tile_size=min(nms_tile, round_up(r, 128)))
 
     # Map NMS winners (indices into sorted order) back to original ROI rows.
     roi_indices = jnp.take(order, jnp.minimum(nms_idx, r - 1))
@@ -116,6 +118,3 @@ def refine_detections(
          (out_score * vf)[:, None]], axis=1)
     return detections, valid, roi_indices
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m

@@ -32,6 +32,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from maskrcnn_tpu.ops.common import round_up
+
 from maskrcnn_tpu.ops.boxes import box_iou
 
 
@@ -82,7 +84,7 @@ def nms_padded(
         tile_pl = max(128, min((tile_size // 128) * 128, 512))
         keep = nms_keep_pallas(
             boxes, cand_all, float(iou_threshold), max_out,
-            tile_size=min(tile_pl, _round_up_static(n, 128)))
+            tile_size=min(tile_pl, round_up(n, 128)))
         return _compact(keep, n, max_out, return_mask)
 
     pad = (-n) % tile_size
@@ -161,9 +163,6 @@ def _compact(keep, n: int, max_out: int, return_mask: bool):
         return indices, valid_out, keep
     return indices, valid_out
 
-
-def _round_up_static(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def nms_gather(boxes: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:

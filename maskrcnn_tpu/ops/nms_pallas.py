@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from maskrcnn_tpu.ops.common import round_up
+
 
 def _pairwise_iou(a, b):
     """(M, 4) x (B, 4) -> (M, B) IoU, degenerate boxes inert.
@@ -128,7 +130,7 @@ def nms_keep_pallas(
         [valid.astype(jnp.float32), jnp.zeros((pad,), jnp.float32)])
     np_ = n + pad
     num_tiles = np_ // tile_size
-    cap = _round_up(min(max_out, np_), 8)
+    cap = round_up(min(max_out, np_), 8)
 
     keep = pl.pallas_call(
         functools.partial(
@@ -147,7 +149,3 @@ def nms_keep_pallas(
         interpret=interpret,
     )(boxes_p, cand_p[:, None])
     return keep[:n, 0] > 0.0
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m

@@ -23,6 +23,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from maskrcnn_tpu.ops.common import round_up
+
 from maskrcnn_tpu.ops.boxes import apply_box_deltas, clip_boxes
 from maskrcnn_tpu.ops.nms import nms_gather, nms_padded
 
@@ -78,10 +80,7 @@ def generate_proposals(
 
     idx, valid = nms_padded(
         boxes, jnp.ones((k,), jnp.bool_), nms_threshold, max_proposals,
-        tile_size=min(nms_tile, _round_up(k, 128)))
+        tile_size=min(nms_tile, round_up(k, 128)))
     rois = nms_gather(boxes, idx)
     return rois, valid
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m

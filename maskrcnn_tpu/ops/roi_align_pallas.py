@@ -49,6 +49,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from maskrcnn_tpu.ops.common import round_up
+
 from maskrcnn_tpu.ops.roi_align import _crop_grid, roi_levels
 
 FAST_W = 48  # fast-path x-window cells; multiple of 16 for bf16 tiling
@@ -89,7 +91,12 @@ def stack_pyramid(features) -> StackedPyramid:
     level_hw = [(f.shape[1], f.shape[2]) for f in features]
     padded = [jnp.pad(f, ((0, 0), (0, 0), (0, wmax - f.shape[2]), (0, 0)))
               for f in features]
-    return StackedPyramid(jnp.concatenate(padded, axis=1), level_hw)
+    stacked = jnp.concatenate(padded, axis=1)
+    # One trailing zero row: a height-1 last level would otherwise make the
+    # kernel's 2-row strip DMA read past the array (the extra row's weight
+    # is always zero, but OOB bytes could be NaN/Inf and 0*NaN = NaN).
+    stacked = jnp.pad(stacked, ((0, 0), (0, 1), (0, 0), (0, 0)))
+    return StackedPyramid(stacked, level_hw)
 
 
 def _axis_slots(coord_lo, coord_hi, extent, valid, crop):
@@ -150,7 +157,7 @@ def _prepare(rois, img_idx, level_hw, wmax, image_shape, canonical_scale,
     w_iota = jnp.arange(window, dtype=jnp.int32)  # (W,)
     wxm = (wx0[:, :, None] * (w_iota == lx[:, :, None])
            + wx1[:, :, None] * (w_iota == lx[:, :, None] + 1))  # (M, P, W)
-    qpad = _round_up(crop, 8)
+    qpad = round_up(crop, 8)
     wxm = jnp.pad(wxm, ((0, 0), (0, qpad - crop), (0, 0))).astype(dtype)
 
     meta = jnp.stack(
@@ -302,7 +309,7 @@ def pyramid_roi_align_pallas(
         canonical_scale, crop_size, window, dtype)
     qpad = wxm.shape[1]
 
-    chunk = min(chunk, _round_up(m, 8))
+    chunk = min(chunk, round_up(m, 8))
     pad = (-m) % chunk
     if pad:
         zi = lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
@@ -354,7 +361,3 @@ def pyramid_roi_align_pallas(
             lambda carry, sl: (carry, run_chunk(sl)), 0, xs)
         out = out.reshape((mc, crop_size, crop_size, c))
     return out[:m].reshape(bsz, n, crop_size, crop_size, c)
-
-
-def _round_up(x: int, mval: int) -> int:
-    return ((x + mval - 1) // mval) * mval

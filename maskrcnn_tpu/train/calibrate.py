@@ -40,7 +40,8 @@ def _collect_stats(params, images, anchors, config: MaskRCNNConfig):
     bn_ctx = {"use_batch_stats": True, "collect": collect}
 
     x = preprocess(images, config)
-    pyramid = backbone_fpn(params, x, config, dtype, bn_ctx=bn_ctx)
+    pyramid = backbone_fpn(params, x, config, dtype, bn_ctx=bn_ctx,
+                           inference=False)
     rpn_logits, rpn_deltas = rpn_mod.apply_rpn(params, pyramid, dtype=dtype)
     fg = rpn_logits[..., 1] - rpn_logits[..., 0]
     propose = functools.partial(

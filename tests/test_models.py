@@ -133,3 +133,36 @@ def test_mask_head_fused_class_select_matches_gather(rng):
     assert fused.shape == (n, 2 * pool, 2 * pool)
     np.testing.assert_allclose(np.asarray(fused), gathered,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_training_backbone_never_uses_pallas_kernels(rng, monkeypatch):
+    """Frozen-BN fine-tuning has bn_ctx=None but still differentiates the
+    backbone; inference=False must keep it off the (non-differentiable)
+    Pallas kernels even where they'd otherwise be selected."""
+    from maskrcnn_tpu.models.mask_rcnn import backbone_fpn
+    from maskrcnn_tpu.ops import bottleneck_pallas, stem_pallas
+
+    monkeypatch.setattr(stem_pallas, "stem_supported",
+                        lambda *a, **k: True)
+    monkeypatch.setattr(bottleneck_pallas, "chain_supported",
+                        lambda *a, **k: True)
+    # Fail loudly if the kernels are reached anyway.
+    monkeypatch.setattr(stem_pallas, "apply_stem_pallas",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError("stem kernel in training graph")))
+    monkeypatch.setattr(bottleneck_pallas, "fused_bottleneck_chain",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError("chain kernel in training graph")))
+
+    cfg = tiny_test_config()
+    params = init_mask_rcnn(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 128, 128, 3)), jnp.float32)
+
+    def loss(p):
+        pyr = backbone_fpn(p, x, cfg, jnp.float32, bn_ctx=None,
+                           inference=False)
+        return sum(jnp.sum(f.astype(jnp.float32) ** 2) for f in pyr)
+
+    g = jax.grad(loss)(params)
+    assert np.isfinite(float(jax.tree.reduce(
+        lambda a, b: a + jnp.sum(jnp.abs(b)), g, jnp.float32(0))))
