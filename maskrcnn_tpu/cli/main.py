@@ -11,6 +11,7 @@ scoring run in-process (SURVEY.md §7 step 7).
     python -m maskrcnn_tpu.cli train    <model> [--steps ...]
     python -m maskrcnn_tpu.cli download <name>
     python -m maskrcnn_tpu.cli demo     <model> <image> [-o out.png]
+    python -m maskrcnn_tpu.cli serve    <model> [--port 8389 --max-batch 8]
 
 Artifacts live under `.maskrcnn/models/<name>/` like the reference's
 workspace layout (`README.md:105-116`): inputs `config.json` + `weights.h5`,
@@ -375,6 +376,39 @@ def cmd_stream(args) -> int:
 
 
 # ---------------------------------------------------------------------------
+# serve
+# ---------------------------------------------------------------------------
+
+def cmd_serve(args) -> int:
+    """HTTP model server with dynamic micro-batching (pipeline/serve.py)."""
+    import numpy as np
+
+    from maskrcnn_tpu.pipeline.serve import make_server
+
+    detector, config = _build_detector(args.model, args.config, args.weights,
+                                       None)
+    size = config.image_height
+    # Warm the single compiled batch shape off the serving path.
+    detector.run_batch(np.zeros((args.max_batch, size, size, 3), np.float32))
+
+    server, worker = make_server(detector, host=args.host, port=args.port,
+                                 max_batch=args.max_batch,
+                                 window_ms=args.window_ms)
+    host, port = server.server_address[:2]
+    print(f"# serving on http://{host}:{port}  "
+          f"(POST /detect, GET /healthz; batch<={args.max_batch}, "
+          f"window {args.window_ms} ms)", file=sys.stderr)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        worker.stop()
+        server.server_close()
+    return 0
+
+
+# ---------------------------------------------------------------------------
 # demo
 # ---------------------------------------------------------------------------
 
@@ -473,6 +507,16 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--config")
     st.add_argument("--weights")
     st.set_defaults(fn=cmd_stream)
+
+    sv = sub.add_parser("serve", help="HTTP server w/ dynamic batching")
+    sv.add_argument("model")
+    sv.add_argument("--config")
+    sv.add_argument("--weights")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8389)
+    sv.add_argument("--max-batch", type=int, default=8)
+    sv.add_argument("--window-ms", type=float, default=5.0)
+    sv.set_defaults(fn=cmd_serve)
 
     m = sub.add_parser("demo", help="detect + render one image")
     m.add_argument("model")

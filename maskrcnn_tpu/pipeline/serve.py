@@ -1,0 +1,172 @@
+"""HTTP model server with dynamic micro-batching.
+
+Production-serving counterpart of the reference's interactive example app
+(`Example/Source/ViewController.swift` — one image per user action): a
+persistent compiled pipeline behind a threaded HTTP front end. Requests
+arriving within a short window are batched into one device step (the
+standard dynamic-batching pattern), so concurrent callers share the fixed
+dispatch cost; a single configured batch shape keeps exactly one compiled
+program, with tail padding (`MaskRCNNDetector.detect_images` semantics).
+
+Endpoints:
+  GET  /healthz           -> {"status": "ok", ...}
+  POST /detect            -> image bytes (anything PIL opens) in the body;
+                             JSON response with boxes in source-image pixel
+                             coordinates, class ids, scores, and each mask
+                             as COCO-style RLE (counts list, column-major —
+                             decode with evalkit.mask_rle or pycocotools).
+
+Stdlib-only (http.server + threading): no service dependencies, works in
+sealed environments.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+import numpy as np
+
+
+@dataclass
+class _Pending:
+    image: np.ndarray
+    done: threading.Event
+    result: Any = None
+    error: str | None = None
+
+
+class BatchingWorker:
+    """Collects requests for up to `window_ms` (or `max_batch`) and runs
+    them through the detector as one padded batch."""
+
+    def __init__(self, detector, max_batch: int = 8, window_ms: float = 5.0):
+        self.detector = detector
+        self.max_batch = max_batch
+        self.window_ms = window_ms
+        self.q: queue.Queue[_Pending] = queue.Queue()
+        self.batches = 0
+        self.frames = 0
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def submit(self, image: np.ndarray, timeout_s: float = 60.0):
+        p = _Pending(image=image, done=threading.Event())
+        self.q.put(p)
+        if not p.done.wait(timeout_s):
+            raise TimeoutError("inference timed out")
+        if p.error:
+            raise RuntimeError(p.error)
+        return p.result
+
+    def stop(self):
+        self._stop.set()
+        self.thread.join(timeout=5.0)
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                first = self.q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.perf_counter() + self.window_ms / 1000.0
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self.q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                results = self.detector.detect_images(
+                    [p.image for p in batch], paste_masks=True,
+                    batch_size=self.max_batch)
+                for p, r in zip(batch, results):
+                    p.result = r
+            except Exception as e:  # surface to every waiter, keep serving
+                for p in batch:
+                    p.error = f"{type(e).__name__}: {e}"
+            self.batches += 1
+            self.frames += len(batch)
+            for p in batch:
+                p.done.set()
+
+
+def _detections_to_json(dets) -> dict:
+    from maskrcnn_tpu.evalkit.mask_rle import encode
+
+    out = []
+    for d in dets:
+        row = {
+            "class_id": int(d.class_id),
+            "score": float(d.score),
+            "box_yxyx": [float(v) for v in d.box],
+        }
+        if d.mask is not None:
+            rle = encode(np.asarray(d.mask, np.uint8))
+            row["mask_rle"] = {"size": [rle.h, rle.w],
+                               "counts": [int(c) for c in rle.counts]}
+        out.append(row)
+    return {"detections": out}
+
+
+def make_server(detector, host: str = "127.0.0.1", port: int = 8389,
+                max_batch: int = 8, window_ms: float = 5.0):
+    """Build (server, worker); call server.serve_forever() to run."""
+    from PIL import Image
+
+    worker = BatchingWorker(detector, max_batch=max_batch,
+                            window_ms=window_ms)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {
+                    "status": "ok",
+                    "batches": worker.batches,
+                    "frames": worker.frames,
+                    "max_batch": worker.max_batch,
+                })
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/detect":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                raw = self.rfile.read(n)
+                img = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+                t0 = time.perf_counter()
+                dets = worker.submit(img)
+                payload = _detections_to_json(dets)
+                payload["latency_ms"] = round(
+                    (time.perf_counter() - t0) * 1000, 2)
+                self._send(200, payload)
+            except Exception as e:
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.worker = worker  # for tests/shutdown
+    return server, worker
