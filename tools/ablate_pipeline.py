@@ -206,6 +206,62 @@ def build_backbone_prefixes(config):
         (f"res{k+2}", upto_stage(k)) for k in range(4)]
 
 
+def build_proposal_prefixes(config):
+    """Sub-stages inside generate_proposals (on top of backbone+rpn)."""
+    from maskrcnn_tpu.models import rpn
+    from maskrcnn_tpu.models.mask_rcnn import backbone_fpn, preprocess
+    from maskrcnn_tpu.ops.boxes import apply_box_deltas, clip_boxes
+    from maskrcnn_tpu.ops.nms import nms_padded
+    from maskrcnn_tpu.ops.proposals import generate_proposals
+
+    dtype = jnp.dtype(config.compute_dtype)
+    k = config.pre_nms_max_proposals
+
+    def thin(tree):
+        return [jnp.sum(x.astype(jnp.float32))
+                for x in jax.tree_util.tree_leaves(tree)]
+
+    def _fg(p, imgs):
+        pyr = backbone_fpn(p, preprocess(imgs, config), config, dtype)
+        logits, deltas = rpn.apply_rpn(p, pyr, dtype=dtype)
+        return logits[..., 1] - logits[..., 0], deltas
+
+    def upto_rpn(p, imgs, anch):
+        return thin(_fg(p, imgs))
+
+    def upto_topk(p, imgs, anch):
+        fg, _ = _fg(p, imgs)
+        return thin(jax.vmap(lambda s: jax.lax.approx_max_k(
+            s.astype(jnp.float32), k,
+            recall_target=config.proposal_topk_recall))(fg))
+
+    def upto_decode(p, imgs, anch):
+        fg, deltas = _fg(p, imgs)
+
+        def one(s, d):
+            _, idx = jax.lax.approx_max_k(
+                s.astype(jnp.float32), k,
+                recall_target=config.proposal_topk_recall)
+            sd = jnp.take(d, idx, axis=0).astype(jnp.float32)
+            sa = jnp.take(anch, idx, axis=0).astype(jnp.float32)
+            std = jnp.asarray(config.bbox_std_dev, jnp.float32)
+            return clip_boxes(apply_box_deltas(sa, sd * std))
+        return thin(jax.vmap(one)(fg, deltas))
+
+    def upto_nms(p, imgs, anch):
+        fg, deltas = _fg(p, imgs)
+        propose = functools.partial(
+            generate_proposals, bbox_std_dev=config.bbox_std_dev,
+            pre_nms_max_proposals=k, max_proposals=config.max_proposals,
+            nms_threshold=config.proposal_nms_threshold,
+            topk_recall=config.proposal_topk_recall)
+        return thin(jax.vmap(propose, in_axes=(0, 0, None))(
+            fg, deltas, anch))
+
+    return [("backbone+fpn+rpn", upto_rpn), ("approx top-k", upto_topk),
+            ("gathers+decode+clip", upto_decode), ("nms (full)", upto_nms)]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
@@ -213,6 +269,8 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--backbone-detail", action="store_true",
                     help="ablate stages inside the resnet backbone instead")
+    ap.add_argument("--proposal-detail", action="store_true",
+                    help="ablate sub-stages inside generate_proposals")
     args = ap.parse_args()
 
     from maskrcnn_tpu.core.anchors import generate_anchors
@@ -230,8 +288,12 @@ def main():
     prev = 0.0
     print(f"prefix-ablation, {args.arch} batch {args.batch} "
           f"on {jax.devices()[0].device_kind}")
-    prefixes = (build_backbone_prefixes(config) if args.backbone_detail
-                else build_prefixes(config))
+    if args.backbone_detail:
+        prefixes = build_backbone_prefixes(config)
+    elif args.proposal_detail:
+        prefixes = build_proposal_prefixes(config)
+    else:
+        prefixes = build_prefixes(config)
     for name, fn in prefixes:
         t = timeit(jax.jit(fn), params, images, anchors, iters=args.iters)
         print(f"{name:28s}: cumulative {t*1000:8.2f} ms   "
