@@ -71,8 +71,15 @@ def generate_proposals(
     else:
         _, top_idx = jax.lax.top_k(fg_scores, k)
 
-    sel_deltas = jnp.take(deltas, top_idx, axis=0).astype(jnp.float32)
-    sel_anchors = jnp.take(anchors, top_idx, axis=0).astype(jnp.float32)
+    # One wide row gather instead of two: TPU gathers are per-index
+    # latency-bound (~14 ns/index — docs/PERF.md), so fetching the (delta,
+    # anchor) pair from a concatenated (A, 8) table halves the dominant
+    # cost of this stage (measured 6.6 ms at batch 32 for the two-gather
+    # form; the table build is one bandwidth-rate pass).
+    table = jnp.concatenate(
+        [deltas.astype(jnp.float32), anchors.astype(jnp.float32)], axis=1)
+    sel = jnp.take(table, top_idx, axis=0)
+    sel_deltas, sel_anchors = sel[:, :4], sel[:, 4:]
 
     std = jnp.asarray(bbox_std_dev, jnp.float32)
     boxes = apply_box_deltas(sel_anchors, sel_deltas * std)
