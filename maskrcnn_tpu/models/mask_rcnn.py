@@ -142,19 +142,16 @@ def forward(
         rois, roi_valid = jax.vmap(propose, in_axes=(0, 0, None))(
             fg_scores, rpn_deltas, anchors)  # (B, R, 4)
 
-    # P2..P5 feed ROIAlign. On TPU the Pallas strip-DMA kernel reads a
-    # row-stacked pyramid built once and shared by both aligns
-    # (ops/roi_align_pallas.py); elsewhere the XLA gather path shares a
-    # widened flat pair table.
+    # P2..P5 feed ROIAlign. On TPU the Pallas strip-DMA kernel streams
+    # straight from the four level arrays (ops/roi_align_pallas.py);
+    # elsewhere the XLA gather path shares a widened flat pair table.
     use_pallas_align = jax.default_backend() == "tpu"
     if use_pallas_align:
         from maskrcnn_tpu.ops.roi_align_pallas import (
-            pyramid_roi_align_pallas, stack_pyramid)
-        with stage("stack_pyramid"):
-            stacked = stack_pyramid(pyramid[:4])
+            pyramid_roi_align_pallas)
         with stage("roi_align_classifier"):
             pooled = pyramid_roi_align_pallas(
-                stacked, rois, config.pool_size, image_hw,
+                list(pyramid[:4]), rois, config.pool_size, image_hw,
                 config.roi_canonical_scale)
     else:
         with stage("flat_pyramid"):
@@ -187,8 +184,8 @@ def forward(
     if use_pallas_align:
         with stage("roi_align_mask"):
             mask_pooled = pyramid_roi_align_pallas(
-                stacked, det_boxes, config.mask_pool_size, image_hw,
-                config.roi_canonical_scale)
+                list(pyramid[:4]), det_boxes, config.mask_pool_size,
+                image_hw, config.roi_canonical_scale)
     else:
         align_mask = functools.partial(
             pyramid_roi_align_flat, crop_size=config.mask_pool_size,

@@ -9,11 +9,13 @@ bilinear y-corner rows across a 48-cell x-window) directly from the ROI's
 pyramid level in HBM, double-buffered across grid steps. 98 random 512 B
 reads per ROI become `crop` strided ~50 KB reads — DMA-rate, not index-rate.
 
-The four pyramid levels are stacked row-wise into ONE (B, sum(H_l), Wmax, C)
-array (narrow levels zero-padded in x), so a ROI's level is just a row
-offset baked into its precomputed row indices — the kernel has a single DMA
-source and no per-level branching, which matters because the op is DMA
-*descriptor-rate* bound (measured ~100 ns per start/wait pair).
+The four pyramid levels are passed as four separate DMA sources and the
+kernel selects a ROI's source with a scalar `pl.when` branch on its
+precomputed level. (An earlier version row-stacked the levels into one
+(B, sum(H_l), Wmax, C) array so the kernel had a single branch-free source;
+building that array cost a measured 15 ms/step at batch 32 — pure HBM
+traffic copying the pyramid — while four predicated issue paths cost only
+scalar-core compares. Only P5 needs x-padding to the 48-cell window.)
 
 The bilinear combine itself is two dense ops per output row: a scalar blend
 of the two y-corner strips (VPU), then a (q, WINDOW) @ (WINDOW, C) matmul
@@ -56,47 +58,20 @@ from maskrcnn_tpu.ops.roi_align import _crop_grid, roi_levels
 FAST_W = 48  # fast-path x-window cells; multiple of 16 for bf16 tiling
 
 
-class StackedPyramid:
-    """P2..P5 stacked row-wise into one (B, R, Wmax, C) array.
+def _pad_level(f):
+    """x-pad one (B, H, W, C) level so the window DMAs stay in bounds.
 
-    Build it once per forward pass (`stack_pyramid`) and share it between
-    the pool-7 and pool-14 aligns. Registered as a pytree.
+    W must be >= FAST_W and a multiple of 16 (bf16 sublane tile); only P5
+    (W=32 at 1024²) actually pads in production. Pad cells are zero and
+    only ever multiply zero weights, but must exist so the (2, 48, C)
+    strip read has real bytes. Heights need no pad: row starts are clamped
+    to H-2 and every strip is exactly 2 rows.
     """
-
-    def __init__(self, stacked, level_hw):
-        self.stacked = stacked
-        self.level_hw = tuple(map(tuple, level_hw))
-
-    def tree_flatten(self):
-        return ((self.stacked,), self.level_hw)
-
-    @classmethod
-    def tree_unflatten(cls, aux, leaves):
-        return cls(leaves[0], aux)
-
-
-jax.tree_util.register_pytree_node(
-    StackedPyramid, StackedPyramid.tree_flatten,
-    StackedPyramid.tree_unflatten)
-
-
-def stack_pyramid(features) -> StackedPyramid:
-    """Stack (B, H_l, W_l, C) levels along rows, x-padded to a common width.
-
-    XLA lowers the pad+concat to direct writes into one buffer, so this
-    costs one pass over the pyramid — and replaces the XLA path's widened
-    pair-table build entirely.
-    """
-    wmax = max(FAST_W, max(f.shape[2] for f in features))
-    level_hw = [(f.shape[1], f.shape[2]) for f in features]
-    padded = [jnp.pad(f, ((0, 0), (0, 0), (0, wmax - f.shape[2]), (0, 0)))
-              for f in features]
-    stacked = jnp.concatenate(padded, axis=1)
-    # One trailing zero row: a height-1 last level would otherwise make the
-    # kernel's 2-row strip DMA read past the array (the extra row's weight
-    # is always zero, but OOB bytes could be NaN/Inf and 0*NaN = NaN).
-    stacked = jnp.pad(stacked, ((0, 0), (0, 1), (0, 0), (0, 0)))
-    return StackedPyramid(stacked, level_hw)
+    w = f.shape[2]
+    wp = max(FAST_W, round_up(w, 16))
+    if wp == w:
+        return f
+    return jnp.pad(f, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
 
 
 def _axis_slots(coord_lo, coord_hi, extent, valid, crop):
@@ -121,8 +96,8 @@ def _axis_slots(coord_lo, coord_hi, extent, valid, crop):
     return start.astype(jnp.int32), w_slot0, w_slot1
 
 
-def _prepare(rois, img_idx, level_hw, wmax, image_shape, canonical_scale,
-             crop, window, dtype):
+def _prepare(rois, img_idx, level_hw, padded_w, image_shape,
+             canonical_scale, crop, window, dtype):
     """Vectorized XLA-side index/weight prep for (M, 4) flat ROIs."""
     num_levels = len(level_hw)
     rois = rois.astype(jnp.float32)
@@ -130,22 +105,21 @@ def _prepare(rois, img_idx, level_hw, wmax, image_shape, canonical_scale,
                               min_level=2, max_level=2 + num_levels - 1)
     heights = jnp.asarray([h for h, _ in level_hw], jnp.float32)
     widths = jnp.asarray([w for _, w in level_hw], jnp.float32)
-    row_off = jnp.asarray(
-        [sum(h for h, _ in level_hw[:i]) for i in range(num_levels)],
-        jnp.int32)
     fh = jnp.take(heights, level)
     fw = jnp.take(widths, level)
+    # Window clamps use each ROI's *padded* level width (the DMA extent);
+    # sampling math above uses the true width.
+    wp8 = jnp.take(jnp.asarray(padded_w, jnp.int32) // 8, level)
 
     rs, wy0, wy1 = _axis_slots(rois[:, 0], rois[:, 2], fh, valid, crop)
     cs, wx0, wx1 = _axis_slots(rois[:, 1], rois[:, 3], fw, valid, crop)
-    rs = rs + jnp.take(row_off, level)[:, None]  # stacked-global rows
 
     # Fast path: one 8-aligned FAST_W window containing every column pair.
-    sx8 = jnp.clip(jnp.min(cs, axis=1) // 8, 0, wmax // 8 - FAST_W // 8)
+    sx8 = jnp.clip(jnp.min(cs, axis=1) // 8, 0, wp8 - FAST_W // 8)
     oversize = (jnp.max(cs, axis=1) + 2 - 8 * sx8 > FAST_W).astype(jnp.int32)
     lx_fast = cs - 8 * sx8[:, None]
     # Slow path: per-column aligned (2, 16, C) block into 16-cell slot 16q.
-    ca8 = jnp.minimum(cs // 8, wmax // 8 - 2)
+    ca8 = jnp.minimum(cs // 8, wp8[:, None] - 2)
     lx_slow = (16 * jnp.arange(crop, dtype=jnp.int32)[None, :]
                + cs - 8 * ca8)
     lx = jnp.where(oversize[:, None] == 1, lx_slow, lx_fast)
@@ -161,66 +135,81 @@ def _prepare(rois, img_idx, level_hw, wmax, image_shape, canonical_scale,
     wxm = jnp.pad(wxm, ((0, 0), (0, qpad - crop), (0, 0))).astype(dtype)
 
     meta = jnp.stack(
-        [img_idx.astype(jnp.int32), oversize, sx8], axis=1)  # (M, 3)
+        [img_idx.astype(jnp.int32), oversize, sx8, level], axis=1)  # (M, 4)
     return meta, rs, ca8, wy0, wy1, wxm
 
 
 def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
-            wxm_ref, src, out_ref, buf, sems,
-            *, P: int, window: int, ablate: str = ""):
+            wxm_ref, *rest,
+            P: int, window: int, L: int, G: int = 1, ablate: str = ""):
+    srcs, (out_ref, buf, sems) = rest[:L], rest[L:]
     # Scalar-prefetch refs are FLAT 1-D (index [j*k + p]): 2-D SMEM arrays
     # pad every row to 512 B, which blows the 1 MB SMEM budget at useful
     # chunk sizes; flat arrays pack tight.
+    #
+    # Each grid step handles G ROIs (sub-buffers buf[slot, g]); one ROI per
+    # step leaves ~0.5 us of fixed per-step cost dominating at 32k ROIs.
+    # Every ROI keeps its own DMA semaphore (slot, g) so the combine of ROI
+    # g overlaps the still-in-flight copies of g+1.. and the next step.
 
-    def strip_copy(j, slot, p):
+    def strip_copy(src, j, slot, g, p):
         """Fast path: one (2, FAST_W, C) strip for output row p."""
         return pltpu.make_async_copy(
-            src.at[meta_ref[j * 3], pl.ds(rs_ref[j * P + p], 2),
-                   pl.ds(meta_ref[j * 3 + 2] * 8, FAST_W), :],
-            buf.at[slot, p, :, pl.ds(0, FAST_W), :], sems.at[slot])
+            src.at[meta_ref[j * 4], pl.ds(rs_ref[j * P + p], 2),
+                   pl.ds(meta_ref[j * 4 + 2] * 8, FAST_W), :],
+            buf.at[slot, g, p, :, pl.ds(0, FAST_W), :], sems.at[slot, g])
 
-    def block_copy(j, slot, p, q):
+    def block_copy(src, j, slot, g, p, q):
         """Slow path: one aligned (2, 16, C) block into 16-cell slot 16q."""
         return pltpu.make_async_copy(
-            src.at[meta_ref[j * 3], pl.ds(rs_ref[j * P + p], 2),
+            src.at[meta_ref[j * 4], pl.ds(rs_ref[j * P + p], 2),
                    pl.ds(ca8_ref[j * P + q] * 8, 16), :],
-            buf.at[slot, p, :, pl.ds(16 * q, 16), :], sems.at[slot])
+            buf.at[slot, g, p, :, pl.ds(16 * q, 16), :], sems.at[slot, g])
 
-    def issue(j, slot):
-        ovr = meta_ref[j * 3 + 1]
+    def issue(i_, slot):
+        def one(g):
+            j = i_ * G + g
+            ovr = meta_ref[j * 4 + 1]
+            lvl = meta_ref[j * 4 + 3]
+            # Static unroll over pyramid levels: DMA descriptors need a
+            # static source ref, so each level gets its own predicated
+            # issue path (scalar-core compares only; the DMA count per ROI
+            # is unchanged).
+            for li, src in enumerate(srcs):
+                @pl.when((lvl == li) & (ovr == 0))
+                def _(src=src):
+                    def body(p, c):
+                        strip_copy(src, j, slot, g, p).start()
+                        return c
+                    jax.lax.fori_loop(0, P, body, 0)
 
-        @pl.when(ovr == 0)
-        def _():
-            def body(p, c):
-                strip_copy(j, slot, p).start()
-                return c
-            jax.lax.fori_loop(0, P, body, 0)
+                @pl.when((lvl == li) & (ovr != 0))
+                def _(src=src):
+                    def body(k, c):
+                        block_copy(src, j, slot, g, k // P, k % P).start()
+                        return c
+                    jax.lax.fori_loop(0, P * P, body, 0)
+        for g in range(G):
+            one(g)
 
-        @pl.when(ovr != 0)
-        def _():
-            def body(k, c):
-                block_copy(j, slot, k // P, k % P).start()
-                return c
-            jax.lax.fori_loop(0, P * P, body, 0)
-
-    def wait(j, slot):
-        # ONE wait per ROI: every copy for this ROI signals sems[slot], and
-        # a DMA wait only consumes (semaphore, byte count) — so wait on a
-        # STATIC descriptor whose slice has the same total bytes as the
+    def wait(j, slot, g):
+        # ONE wait per ROI: every copy for this ROI signals sems[slot, g],
+        # and a DMA wait only consumes (semaphore, byte count) — so wait on
+        # a STATIC descriptor whose slice has the same total bytes as the
         # whole ROI's transfer set. Fast path moves P*(2, FAST_W, C); slow
         # path P*P*(2, 16, C) == P*(2, 16*P, C). This halves+ the
         # descriptor-rate bound (dynamic address math runs once, at start).
-        ovr = meta_ref[j * 3 + 1]
+        ovr = meta_ref[j * 4 + 1]
 
         @pl.when(ovr == 0)
         def _():
-            ref = buf.at[slot, :, :, pl.ds(0, FAST_W), :]
-            pltpu.make_async_copy(ref, ref, sems.at[slot]).wait()
+            ref = buf.at[slot, g, :, :, pl.ds(0, FAST_W), :]
+            pltpu.make_async_copy(ref, ref, sems.at[slot, g]).wait()
 
         @pl.when(ovr != 0)
         def _():
-            ref = buf.at[slot, :, :, pl.ds(0, 16 * P), :]
-            pltpu.make_async_copy(ref, ref, sems.at[slot]).wait()
+            ref = buf.at[slot, g, :, :, pl.ds(0, 16 * P), :]
+            pltpu.make_async_copy(ref, ref, sems.at[slot, g]).wait()
 
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -240,42 +229,49 @@ def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
         def _():
             issue(i + 1, 1 - slot)
 
-        wait(i, slot)
-
     # Bilinear combine per output row p (static unroll): blend the two
     # y-corner strips with scalar slot weights (VPU), contract the window
     # axis against this ROI's x-weight matrix (MXU). The fast path blends
     # and contracts only the FAST_W prefix it filled.
-    def combine(p, width):
-        s = (buf[slot, p, 0, :width, :].astype(jnp.float32)
-             * wy0_ref[i * P + p]
-             + buf[slot, p, 1, :width, :].astype(jnp.float32)
-             * wy1_ref[i * P + p])
-        res = jnp.dot(wxm_ref[0, :, :width], s.astype(buf.dtype),
+    def combine(j, g, p, width):
+        s = (buf[slot, g, p, 0, :width, :].astype(jnp.float32)
+             * wy0_ref[j * P + p]
+             + buf[slot, g, p, 1, :width, :].astype(jnp.float32)
+             * wy1_ref[j * P + p])
+        res = jnp.dot(wxm_ref[g, :, :width], s.astype(buf.dtype),
                       preferred_element_type=jnp.float32)  # (qpad, C)
-        out_ref[0, p, :, :] = res[:P].astype(out_ref.dtype)
+        out_ref[g, p, :, :] = res[:P].astype(out_ref.dtype)
 
     if ablate == "nocompute":
+        if ablate != "nodma":
+            for g in range(G):
+                wait(i * G + g, slot, g)
         out_ref[0, 0, 0, :] = (buf[slot, 0, 0, 0, :]
                                + wxm_ref[0, 0, :1]).astype(out_ref.dtype)
-    elif window == FAST_W:
-        for p in range(P):
-            combine(p, FAST_W)
-    else:
-        @pl.when(meta_ref[i * 3 + 1] == 0)
-        def _():
-            for p in range(P):
-                combine(p, FAST_W)
+        return
 
-        @pl.when(meta_ref[i * 3 + 1] != 0)
-        def _():
+    for g in range(G):
+        j = i * G + g
+        if ablate != "nodma":
+            wait(j, slot, g)
+        if window == FAST_W:
             for p in range(P):
-                combine(p, window)
+                combine(j, g, p, FAST_W)
+        else:
+            @pl.when(meta_ref[j * 4 + 1] == 0)
+            def _():
+                for p in range(P):
+                    combine(j, g, p, FAST_W)
+
+            @pl.when(meta_ref[j * 4 + 1] != 0)
+            def _():
+                for p in range(P):
+                    combine(j, g, p, window)
 
 
 @functools.partial(
     jax.jit, static_argnames=("crop_size", "image_shape", "canonical_scale",
-                              "chunk", "interpret", "ablate"))
+                              "chunk", "interpret", "ablate", "group"))
 def pyramid_roi_align_pallas(
     features,
     rois: jnp.ndarray,
@@ -285,31 +281,38 @@ def pyramid_roi_align_pallas(
     chunk: int = 2048,
     interpret: bool = False,
     ablate: str = "",
+    group: int | None = None,
 ) -> jnp.ndarray:
     """Batched pyramid ROIAlign: (B, N, crop, crop, C) pooled features.
 
     Args:
-      features: P2..P5 as a list of (B, H_l, W_l, C) arrays (finest first),
-        or a prebuilt `StackedPyramid` shared across calls.
+      features: P2..P5 as a list of (B, H_l, W_l, C) arrays (finest
+        first), true (unpadded) widths. Narrow levels are x-padded here;
+        under one jit the pool-7 and pool-14 calls CSE to a single pad.
       rois: (B, N, 4) normalized y1x1y2x2; zero rows -> zero output.
     """
-    pyr = (features if isinstance(features, StackedPyramid)
-           else stack_pyramid(features))
-    bsz = pyr.stacked.shape[0]
+    level_hw = [(f.shape[1], f.shape[2]) for f in features]
+    srcs = [_pad_level(f) for f in features]
+    bsz = srcs[0].shape[0]
     n = rois.shape[1]
-    c = pyr.stacked.shape[-1]
-    wmax = pyr.stacked.shape[2]
-    dtype = pyr.stacked.dtype
+    c = srcs[0].shape[-1]
+    dtype = srcs[0].dtype
     window = max(FAST_W, 16 * crop_size)
 
     m = bsz * n
     img_idx = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), n)
     meta, rs, ca8, wy0, wy1, wxm = _prepare(
-        rois.reshape(m, 4), img_idx, pyr.level_hw, wmax, image_shape,
+        rois.reshape(m, 4), img_idx, level_hw,
+        [s.shape[2] for s in srcs], image_shape,
         canonical_scale, crop_size, window, dtype)
     qpad = wxm.shape[1]
 
-    chunk = min(chunk, round_up(m, 8))
+    # ROIs per grid step: amortizes the fixed per-step cost (measured ~14 ms
+    # over 32k single-ROI steps at batch 32) while keeping the double
+    # buffer inside the VMEM budget at the pool-14 window size.
+    G = group if group is not None else (8 if window == FAST_W else 2)
+
+    chunk = min(chunk, round_up(m, G * 8))
     pad = (-m) % chunk
     if pad:
         zi = lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
@@ -324,21 +327,19 @@ def pyramid_roi_align_pallas(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(chunk,),
-        in_specs=[
-            pl.BlockSpec((1, qpad, window), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, crop_size, crop_size, c),
+        grid=(chunk // G,),
+        in_specs=[pl.BlockSpec((G, qpad, window), lambda i, *_: (i, 0, 0))]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * len(srcs),
+        out_specs=pl.BlockSpec((G, crop_size, crop_size, c),
                                lambda i, *_: (i, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, crop_size, 2, window, c), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, G, crop_size, 2, window, c), dtype),
+            pltpu.SemaphoreType.DMA((2, G)),
         ],
     )
     call = pl.pallas_call(
         functools.partial(_kernel, P=crop_size, window=window,
-                          ablate=ablate),
+                          L=len(srcs), G=G, ablate=ablate),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((chunk, crop_size, crop_size, c),
                                        dtype),
@@ -349,7 +350,7 @@ def pyramid_roi_align_pallas(
 
     def run_chunk(sl):
         return call(sl["meta"], sl["rs"], sl["ca8"], sl["wy0"], sl["wy1"],
-                    sl["wxm"], pyr.stacked)
+                    sl["wxm"], *srcs)
 
     xs = {"meta": meta, "rs": rs, "ca8": ca8, "wy0": wy0, "wy1": wy1,
           "wxm": wxm}

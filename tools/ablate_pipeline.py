@@ -52,7 +52,8 @@ def build_prefixes(config):
 
     if jax.default_backend() == "tpu":
         from maskrcnn_tpu.ops.roi_align_pallas import (
-            pyramid_roi_align_pallas, stack_pyramid)
+            pyramid_roi_align_pallas)
+        stack_pyramid = lambda feats: list(feats)  # kernel takes raw levels
     else:  # mirror forward()'s backend dispatch so the tool runs on CPU too
         from maskrcnn_tpu.ops.roi_align import (build_flat_pyramid,
                                                 pyramid_roi_align_flat)

@@ -86,11 +86,11 @@ def main():
     feats = tuple(pyramid[:4])
     if jax.default_backend() == "tpu":
         from maskrcnn_tpu.ops.roi_align_pallas import (
-            pyramid_roi_align_pallas, stack_pyramid)
+            pyramid_roi_align_pallas)
         stage_align = jax.jit(lambda f, r: pyramid_roi_align_pallas(
-            stack_pyramid(f), r, 7, image_hw))
+            list(f), r, 7, image_hw))
         align_m_fn = jax.jit(lambda f, r: pyramid_roi_align_pallas(
-            stack_pyramid(f), r, 14, image_hw))
+            list(f), r, 14, image_hw))
     else:
         align = functools.partial(pyramid_roi_align, crop_size=7,
                                   image_shape=image_hw)
