@@ -55,7 +55,17 @@ from maskrcnn_tpu.ops.common import round_up
 
 from maskrcnn_tpu.ops.roi_align import _crop_grid, roi_levels
 
-FAST_W = 48  # fast-path x-window cells; multiple of 16 for bf16 tiling
+FAST_W = 48  # strip-path x-window cells; multiple of 16 for bf16 tiling
+
+# Block fast path: ROIs whose sample rows fit in BLOCK_R rows AND whose
+# sample columns fit an 8-aligned BLOCK_W window are fetched with ONE
+# (BLOCK_R, BLOCK_W, C) DMA instead of `crop` row-pair strips. The op is
+# descriptor-rate bound (~100 ns/descriptor), so collapsing 7 starts + 1
+# wait into 1 + 1 beats the strips' smaller byte count for every ROI that
+# qualifies (~60% at the bench ROI distribution; FPN level selection maps
+# a square ROI to ~10-22 cells, so square-ish ROIs all fit).
+BLOCK_R = 24
+BLOCK_W = 32
 
 
 def _pad_level(f):
@@ -114,15 +124,30 @@ def _prepare(rois, img_idx, level_hw, padded_w, image_shape,
     rs, wy0, wy1 = _axis_slots(rois[:, 0], rois[:, 2], fh, valid, crop)
     cs, wx0, wx1 = _axis_slots(rois[:, 1], rois[:, 3], fw, valid, crop)
 
-    # Fast path: one 8-aligned FAST_W window containing every column pair.
+    # Block path: one (BLOCK_R, BLOCK_W) window holding every sample. DMA
+    # cost tracks *strided rows touched*, so the block's BLOCK_R rows only
+    # beat the strips' 2*crop rows for the larger crop (pool-14: 24 < 28
+    # rows, measured 12.3 -> 11.3 ms; pool-7: 24 > 14, measured 1 ms
+    # SLOWER — gated off).
+    ih = jnp.take(jnp.asarray([h for h, _ in level_hw], jnp.int32), level)
+    rb = jnp.clip(jnp.min(rs, axis=1), 0, jnp.maximum(ih - BLOCK_R, 0))
+    sxb8 = jnp.clip(jnp.min(cs, axis=1) // 8, 0, wp8 - BLOCK_W // 8)
+    block_ok = ((jnp.max(rs, axis=1) + 2 - rb <= BLOCK_R)
+                & (jnp.max(cs, axis=1) + 2 - 8 * sxb8 <= BLOCK_W)
+                & (ih >= BLOCK_R)
+                & (2 * crop > BLOCK_R))
+    # Strip path: one 8-aligned FAST_W window containing every column pair.
     sx8 = jnp.clip(jnp.min(cs, axis=1) // 8, 0, wp8 - FAST_W // 8)
-    oversize = (jnp.max(cs, axis=1) + 2 - 8 * sx8 > FAST_W).astype(jnp.int32)
+    oversize = jnp.max(cs, axis=1) + 2 - 8 * sx8 > FAST_W
+    # path 0 = block (1 DMA), 1 = strips (crop DMAs), 2 = per-col slow.
+    path = jnp.where(block_ok, 0, jnp.where(oversize, 2, 1))
+    sx8 = jnp.where(block_ok, sxb8, sx8)
     lx_fast = cs - 8 * sx8[:, None]
     # Slow path: per-column aligned (2, 16, C) block into 16-cell slot 16q.
     ca8 = jnp.minimum(cs // 8, wp8[:, None] - 2)
     lx_slow = (16 * jnp.arange(crop, dtype=jnp.int32)[None, :]
                + cs - 8 * ca8)
-    lx = jnp.where(oversize[:, None] == 1, lx_slow, lx_fast)
+    lx = jnp.where(path[:, None] == 2, lx_slow, lx_fast)
 
     # The x-combine runs on the MXU as (q, window) @ (window, C): scatter
     # the two slot weights per output column into a dense per-ROI weight
@@ -135,14 +160,14 @@ def _prepare(rois, img_idx, level_hw, padded_w, image_shape,
     wxm = jnp.pad(wxm, ((0, 0), (0, qpad - crop), (0, 0))).astype(dtype)
 
     meta = jnp.stack(
-        [img_idx.astype(jnp.int32), oversize, sx8, level], axis=1)  # (M, 4)
+        [img_idx.astype(jnp.int32), path, sx8, level, rb], axis=1)  # (M, 5)
     return meta, rs, ca8, wy0, wy1, wxm
 
 
 def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
             wxm_ref, *rest,
             P: int, window: int, L: int, G: int = 1, ablate: str = ""):
-    srcs, (out_ref, buf, sems) = rest[:L], rest[L:]
+    srcs, (out_ref, buf, bbuf, sems) = rest[:L], rest[L:]
     # Scalar-prefetch refs are FLAT 1-D (index [j*k + p]): 2-D SMEM arrays
     # pad every row to 512 B, which blows the 1 MB SMEM budget at useful
     # chunk sizes; flat arrays pack tight.
@@ -152,41 +177,56 @@ def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
     # Every ROI keeps its own DMA semaphore (slot, g) so the combine of ROI
     # g overlaps the still-in-flight copies of g+1.. and the next step.
 
-    def strip_copy(src, j, slot, g, p):
-        """Fast path: one (2, FAST_W, C) strip for output row p."""
+    def blk_copy(src, j, slot, g):
+        """Block path: the whole ROI in ONE (BLOCK_R, BLOCK_W, C) copy."""
         return pltpu.make_async_copy(
-            src.at[meta_ref[j * 4], pl.ds(rs_ref[j * P + p], 2),
-                   pl.ds(meta_ref[j * 4 + 2] * 8, FAST_W), :],
+            src.at[meta_ref[j * 5], pl.ds(meta_ref[j * 5 + 4], BLOCK_R),
+                   pl.ds(meta_ref[j * 5 + 2] * 8, BLOCK_W), :],
+            bbuf.at[slot, g], sems.at[slot, g])
+
+    def strip_copy(src, j, slot, g, p):
+        """Strip path: one (2, FAST_W, C) strip for output row p."""
+        return pltpu.make_async_copy(
+            src.at[meta_ref[j * 5], pl.ds(rs_ref[j * P + p], 2),
+                   pl.ds(meta_ref[j * 5 + 2] * 8, FAST_W), :],
             buf.at[slot, g, p, :, pl.ds(0, FAST_W), :], sems.at[slot, g])
 
-    def block_copy(src, j, slot, g, p, q):
+    def col_copy(src, j, slot, g, p, q):
         """Slow path: one aligned (2, 16, C) block into 16-cell slot 16q."""
         return pltpu.make_async_copy(
-            src.at[meta_ref[j * 4], pl.ds(rs_ref[j * P + p], 2),
+            src.at[meta_ref[j * 5], pl.ds(rs_ref[j * P + p], 2),
                    pl.ds(ca8_ref[j * P + q] * 8, 16), :],
             buf.at[slot, g, p, :, pl.ds(16 * q, 16), :], sems.at[slot, g])
 
     def issue(i_, slot):
         def one(g):
             j = i_ * G + g
-            ovr = meta_ref[j * 4 + 1]
-            lvl = meta_ref[j * 4 + 3]
+            path = meta_ref[j * 5 + 1]
+            lvl = meta_ref[j * 5 + 3]
             # Static unroll over pyramid levels: DMA descriptors need a
-            # static source ref, so each level gets its own predicated
-            # issue path (scalar-core compares only; the DMA count per ROI
-            # is unchanged).
+            # static source ref, so each (level, path) pair gets its own
+            # predicated issue region (scalar-core compares only; the DMA
+            # count per ROI is unchanged).
             for li, src in enumerate(srcs):
-                @pl.when((lvl == li) & (ovr == 0))
+                # Static guard: levels shorter than BLOCK_R can never take
+                # the block path (prep enforces it with the same H), and
+                # tracing their 24-row slice would be a shape error.
+                if src.shape[1] >= BLOCK_R:
+                    @pl.when((lvl == li) & (path == 0))
+                    def _(src=src):
+                        blk_copy(src, j, slot, g).start()
+
+                @pl.when((lvl == li) & (path == 1))
                 def _(src=src):
                     def body(p, c):
                         strip_copy(src, j, slot, g, p).start()
                         return c
                     jax.lax.fori_loop(0, P, body, 0)
 
-                @pl.when((lvl == li) & (ovr != 0))
+                @pl.when((lvl == li) & (path == 2))
                 def _(src=src):
                     def body(k, c):
-                        block_copy(src, j, slot, g, k // P, k % P).start()
+                        col_copy(src, j, slot, g, k // P, k % P).start()
                         return c
                     jax.lax.fori_loop(0, P * P, body, 0)
         for g in range(G):
@@ -196,17 +236,23 @@ def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
         # ONE wait per ROI: every copy for this ROI signals sems[slot, g],
         # and a DMA wait only consumes (semaphore, byte count) — so wait on
         # a STATIC descriptor whose slice has the same total bytes as the
-        # whole ROI's transfer set. Fast path moves P*(2, FAST_W, C); slow
-        # path P*P*(2, 16, C) == P*(2, 16*P, C). This halves+ the
-        # descriptor-rate bound (dynamic address math runs once, at start).
-        ovr = meta_ref[j * 4 + 1]
+        # whole ROI's transfer set. Block path moves (BLOCK_R, BLOCK_W, C);
+        # strip path P*(2, FAST_W, C); slow path P*P*(2, 16, C) ==
+        # P*(2, 16*P, C). This halves+ the descriptor-rate bound (dynamic
+        # address math runs once, at start).
+        path = meta_ref[j * 5 + 1]
 
-        @pl.when(ovr == 0)
+        @pl.when(path == 0)
+        def _():
+            ref = bbuf.at[slot, g]
+            pltpu.make_async_copy(ref, ref, sems.at[slot, g]).wait()
+
+        @pl.when(path == 1)
         def _():
             ref = buf.at[slot, g, :, :, pl.ds(0, FAST_W), :]
             pltpu.make_async_copy(ref, ref, sems.at[slot, g]).wait()
 
-        @pl.when(ovr != 0)
+        @pl.when(path == 2)
         def _():
             ref = buf.at[slot, g, :, :, pl.ds(0, 16 * P), :]
             pltpu.make_async_copy(ref, ref, sems.at[slot, g]).wait()
@@ -221,6 +267,7 @@ def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
         # cell a DMA didn't fill, which is only NaN/Inf-safe if those cells
         # hold real values. After step 0 stale cells hold prior-ROI data.
         buf[...] = jnp.zeros_like(buf)
+        bbuf[...] = jnp.zeros_like(bbuf)
         if ablate != "nodma":
             issue(0, 0)
 
@@ -230,17 +277,25 @@ def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
             issue(i + 1, 1 - slot)
 
     # Bilinear combine per output row p (static unroll): blend the two
-    # y-corner strips with scalar slot weights (VPU), contract the window
-    # axis against this ROI's x-weight matrix (MXU). The fast path blends
-    # and contracts only the FAST_W prefix it filled.
-    def combine(j, g, p, width):
-        s = (buf[slot, g, p, 0, :width, :].astype(jnp.float32)
-             * wy0_ref[j * P + p]
-             + buf[slot, g, p, 1, :width, :].astype(jnp.float32)
-             * wy1_ref[j * P + p])
+    # y-corner rows with scalar slot weights (VPU), contract the window
+    # axis against this ROI's x-weight matrix (MXU). Each path blends and
+    # contracts only the prefix its DMAs filled; the block path reads its
+    # two rows at a dynamic (untiled-dim) offset into the block buffer.
+    def combine(j, g, p, width, y0, y1):
+        s = (y0.astype(jnp.float32) * wy0_ref[j * P + p]
+             + y1.astype(jnp.float32) * wy1_ref[j * P + p])
         res = jnp.dot(wxm_ref[g, :, :width], s.astype(buf.dtype),
                       preferred_element_type=jnp.float32)  # (qpad, C)
         out_ref[g, p, :, :] = res[:P].astype(out_ref.dtype)
+
+    def combine_block(j, g, p):
+        ry = rs_ref[j * P + p] - meta_ref[j * 5 + 4]
+        combine(j, g, p, BLOCK_W, bbuf[slot, g, ry, :, :],
+                bbuf[slot, g, ry + 1, :, :])
+
+    def combine_strip(j, g, p, width):
+        combine(j, g, p, width, buf[slot, g, p, 0, :width, :],
+                buf[slot, g, p, 1, :width, :])
 
     if ablate == "nocompute":
         if ablate != "nodma":
@@ -254,19 +309,27 @@ def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
         j = i * G + g
         if ablate != "nodma":
             wait(j, slot, g)
-        if window == FAST_W:
-            for p in range(P):
-                combine(j, g, p, FAST_W)
-        else:
-            @pl.when(meta_ref[j * 4 + 1] == 0)
-            def _():
-                for p in range(P):
-                    combine(j, g, p, FAST_W)
 
-            @pl.when(meta_ref[j * 4 + 1] != 0)
+        @pl.when(meta_ref[j * 5 + 1] == 0)
+        def _():
+            for p in range(P):
+                combine_block(j, g, p)
+
+        if window == FAST_W:
+            @pl.when(meta_ref[j * 5 + 1] != 0)
             def _():
                 for p in range(P):
-                    combine(j, g, p, window)
+                    combine_strip(j, g, p, FAST_W)
+        else:
+            @pl.when(meta_ref[j * 5 + 1] == 1)
+            def _():
+                for p in range(P):
+                    combine_strip(j, g, p, FAST_W)
+
+            @pl.when(meta_ref[j * 5 + 1] == 2)
+            def _():
+                for p in range(P):
+                    combine_strip(j, g, p, window)
 
 
 @functools.partial(
@@ -310,7 +373,7 @@ def pyramid_roi_align_pallas(
     # ROIs per grid step: amortizes the fixed per-step cost (measured ~14 ms
     # over 32k single-ROI steps at batch 32) while keeping the double
     # buffer inside the VMEM budget at the pool-14 window size.
-    G = group if group is not None else (8 if window == FAST_W else 2)
+    G = group if group is not None else (8 if crop_size <= 7 else 4)
 
     chunk = min(chunk, round_up(m, G * 8))
     pad = (-m) % chunk
@@ -334,6 +397,7 @@ def pyramid_roi_align_pallas(
                                lambda i, *_: (i, 0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, G, crop_size, 2, window, c), dtype),
+            pltpu.VMEM((2, G, BLOCK_R, BLOCK_W, c), dtype),
             pltpu.SemaphoreType.DMA((2, G)),
         ],
     )
