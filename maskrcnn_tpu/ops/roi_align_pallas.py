@@ -57,15 +57,24 @@ from maskrcnn_tpu.ops.roi_align import _crop_grid, roi_levels
 
 FAST_W = 48  # strip-path x-window cells; multiple of 16 for bf16 tiling
 
-# Block fast path: ROIs whose sample rows fit in BLOCK_R rows AND whose
-# sample columns fit an 8-aligned BLOCK_W window are fetched with ONE
-# (BLOCK_R, BLOCK_W, C) DMA instead of `crop` row-pair strips. The op is
-# descriptor-rate bound (~100 ns/descriptor), so collapsing 7 starts + 1
-# wait into 1 + 1 beats the strips' smaller byte count for every ROI that
-# qualifies (~60% at the bench ROI distribution; FPN level selection maps
-# a square ROI to ~10-22 cells, so square-ish ROIs all fit).
-BLOCK_R = 24
-BLOCK_W = 32
+# Block fast path: ROIs whose sample rows fit in block_r rows AND whose
+# sample columns fit an 8-aligned block_w window are fetched with ONE
+# (block_r, block_w, C) DMA instead of `crop` row-pair strips.
+#
+# The DMA cost unit is the *strided row segment* (~63 ns each; measured by
+# sweeping FAST_W 32/48/64 under ablate="nocompute": 28.4/28.3/28.4 ms at
+# 32k pool-7 ROIs — byte count is irrelevant, descriptor count nearly so).
+# So the block only wins where it touches fewer rows than the strips:
+#   pool-14: 24-row block vs 28 strip rows -> on (12.3 -> 11.3 ms);
+#   pool-7: 16-row block vs 14 strip rows -> OFF (measured 31.4 vs 29.8 ms
+#   full; even DMA-only it breaks even, and its combine pays ~1.6 ms for
+#   dynamic-row reads from the block buffer).
+# pool-7 therefore sits at its segment-rate floor (32k x 14 x 63 ns) for
+# any per-ROI-fetch formulation; going lower needs per-tile streaming.
+
+
+def _block_dims(crop: int) -> tuple[int, int]:
+    return (0, 0) if crop <= 7 else (24, 32)
 
 
 def _pad_level(f):
@@ -107,7 +116,7 @@ def _axis_slots(coord_lo, coord_hi, extent, valid, crop):
 
 
 def _prepare(rois, img_idx, level_hw, padded_w, image_shape,
-             canonical_scale, crop, window, dtype):
+             canonical_scale, crop, window, dtype, block_r, block_w):
     """Vectorized XLA-side index/weight prep for (M, 4) flat ROIs."""
     num_levels = len(level_hw)
     rois = rois.astype(jnp.float32)
@@ -124,18 +133,17 @@ def _prepare(rois, img_idx, level_hw, padded_w, image_shape,
     rs, wy0, wy1 = _axis_slots(rois[:, 0], rois[:, 2], fh, valid, crop)
     cs, wx0, wx1 = _axis_slots(rois[:, 1], rois[:, 3], fw, valid, crop)
 
-    # Block path: one (BLOCK_R, BLOCK_W) window holding every sample. DMA
-    # cost tracks *strided rows touched*, so the block's BLOCK_R rows only
-    # beat the strips' 2*crop rows for the larger crop (pool-14: 24 < 28
-    # rows, measured 12.3 -> 11.3 ms; pool-7: 24 > 14, measured 1 ms
-    # SLOWER — gated off).
+    # Block path: one (block_r, block_w) window holding every sample.
+    # pool-14: 24-row block vs 28 strip rows, measured 12.3 -> 11.3 ms.
+    # pool-7: a 24-row block was 1 ms SLOWER (24 > 14 strip rows), but the
+    # crop-sized 16-row block wins on rows-touched AND descriptors.
     ih = jnp.take(jnp.asarray([h for h, _ in level_hw], jnp.int32), level)
-    rb = jnp.clip(jnp.min(rs, axis=1), 0, jnp.maximum(ih - BLOCK_R, 0))
-    sxb8 = jnp.clip(jnp.min(cs, axis=1) // 8, 0, wp8 - BLOCK_W // 8)
-    block_ok = ((jnp.max(rs, axis=1) + 2 - rb <= BLOCK_R)
-                & (jnp.max(cs, axis=1) + 2 - 8 * sxb8 <= BLOCK_W)
-                & (ih >= BLOCK_R)
-                & (2 * crop > BLOCK_R))
+    rb = jnp.clip(jnp.min(rs, axis=1), 0, jnp.maximum(ih - block_r, 0))
+    sxb8 = jnp.clip(jnp.min(cs, axis=1) // 8, 0, wp8 - block_w // 8)
+    block_ok = ((jnp.max(rs, axis=1) + 2 - rb <= block_r)
+                & (jnp.max(cs, axis=1) + 2 - 8 * sxb8 <= block_w)
+                & (ih >= block_r)
+                & (block_r > 0))
     # Strip path: one 8-aligned FAST_W window containing every column pair.
     sx8 = jnp.clip(jnp.min(cs, axis=1) // 8, 0, wp8 - FAST_W // 8)
     oversize = jnp.max(cs, axis=1) + 2 - 8 * sx8 > FAST_W
@@ -166,7 +174,8 @@ def _prepare(rois, img_idx, level_hw, padded_w, image_shape,
 
 def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
             wxm_ref, *rest,
-            P: int, window: int, L: int, G: int = 1, ablate: str = ""):
+            P: int, window: int, L: int, BR: int, BW: int,
+            G: int = 1, ablate: str = ""):
     srcs, (out_ref, buf, bbuf, sems) = rest[:L], rest[L:]
     # Scalar-prefetch refs are FLAT 1-D (index [j*k + p]): 2-D SMEM arrays
     # pad every row to 512 B, which blows the 1 MB SMEM budget at useful
@@ -178,10 +187,10 @@ def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
     # g overlaps the still-in-flight copies of g+1.. and the next step.
 
     def blk_copy(src, j, slot, g):
-        """Block path: the whole ROI in ONE (BLOCK_R, BLOCK_W, C) copy."""
+        """Block path: the whole ROI in ONE (BR, BW, C) copy."""
         return pltpu.make_async_copy(
-            src.at[meta_ref[j * 5], pl.ds(meta_ref[j * 5 + 4], BLOCK_R),
-                   pl.ds(meta_ref[j * 5 + 2] * 8, BLOCK_W), :],
+            src.at[meta_ref[j * 5], pl.ds(meta_ref[j * 5 + 4], BR),
+                   pl.ds(meta_ref[j * 5 + 2] * 8, BW), :],
             bbuf.at[slot, g], sems.at[slot, g])
 
     def strip_copy(src, j, slot, g, p):
@@ -208,10 +217,10 @@ def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
             # predicated issue region (scalar-core compares only; the DMA
             # count per ROI is unchanged).
             for li, src in enumerate(srcs):
-                # Static guard: levels shorter than BLOCK_R can never take
-                # the block path (prep enforces it with the same H), and
-                # tracing their 24-row slice would be a shape error.
-                if src.shape[1] >= BLOCK_R:
+                # Static guard: levels shorter than BR can never take the
+                # block path (prep enforces it with the same H), and
+                # tracing their BR-row slice would be a shape error.
+                if BR and src.shape[1] >= BR:
                     @pl.when((lvl == li) & (path == 0))
                     def _(src=src):
                         blk_copy(src, j, slot, g).start()
@@ -236,16 +245,17 @@ def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
         # ONE wait per ROI: every copy for this ROI signals sems[slot, g],
         # and a DMA wait only consumes (semaphore, byte count) — so wait on
         # a STATIC descriptor whose slice has the same total bytes as the
-        # whole ROI's transfer set. Block path moves (BLOCK_R, BLOCK_W, C);
-        # strip path P*(2, FAST_W, C); slow path P*P*(2, 16, C) ==
+        # whole ROI's transfer set. Block path moves (BR, BW, C); strip
+        # path P*(2, FAST_W, C); slow path P*P*(2, 16, C) ==
         # P*(2, 16*P, C). This halves+ the descriptor-rate bound (dynamic
         # address math runs once, at start).
         path = meta_ref[j * 5 + 1]
 
-        @pl.when(path == 0)
-        def _():
-            ref = bbuf.at[slot, g]
-            pltpu.make_async_copy(ref, ref, sems.at[slot, g]).wait()
+        if BR:
+            @pl.when(path == 0)
+            def _():
+                ref = bbuf.at[slot, g]
+                pltpu.make_async_copy(ref, ref, sems.at[slot, g]).wait()
 
         @pl.when(path == 1)
         def _():
@@ -290,7 +300,7 @@ def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
 
     def combine_block(j, g, p):
         ry = rs_ref[j * P + p] - meta_ref[j * 5 + 4]
-        combine(j, g, p, BLOCK_W, bbuf[slot, g, ry, :, :],
+        combine(j, g, p, BW, bbuf[slot, g, ry, :, :],
                 bbuf[slot, g, ry + 1, :, :])
 
     def combine_strip(j, g, p, width):
@@ -301,7 +311,7 @@ def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
         if ablate != "nodma":
             for g in range(G):
                 wait(i * G + g, slot, g)
-        out_ref[0, 0, 0, :] = (buf[slot, 0, 0, 0, :]
+        out_ref[0, 0, 0, :] = (buf[slot, 0, 0, 0, 0, :]
                                + wxm_ref[0, 0, :1]).astype(out_ref.dtype)
         return
 
@@ -310,10 +320,11 @@ def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
         if ablate != "nodma":
             wait(j, slot, g)
 
-        @pl.when(meta_ref[j * 5 + 1] == 0)
-        def _():
-            for p in range(P):
-                combine_block(j, g, p)
+        if BR:
+            @pl.when(meta_ref[j * 5 + 1] == 0)
+            def _():
+                for p in range(P):
+                    combine_block(j, g, p)
 
         if window == FAST_W:
             @pl.when(meta_ref[j * 5 + 1] != 0)
@@ -334,7 +345,8 @@ def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("crop_size", "image_shape", "canonical_scale",
-                              "chunk", "interpret", "ablate", "group"))
+                              "chunk", "interpret", "ablate", "group",
+                              "block"))
 def pyramid_roi_align_pallas(
     features,
     rois: jnp.ndarray,
@@ -345,6 +357,7 @@ def pyramid_roi_align_pallas(
     interpret: bool = False,
     ablate: str = "",
     group: int | None = None,
+    block: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """Batched pyramid ROIAlign: (B, N, crop, crop, C) pooled features.
 
@@ -361,13 +374,14 @@ def pyramid_roi_align_pallas(
     c = srcs[0].shape[-1]
     dtype = srcs[0].dtype
     window = max(FAST_W, 16 * crop_size)
+    block_r, block_w = block if block is not None else _block_dims(crop_size)
 
     m = bsz * n
     img_idx = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), n)
     meta, rs, ca8, wy0, wy1, wxm = _prepare(
         rois.reshape(m, 4), img_idx, level_hw,
         [s.shape[2] for s in srcs], image_shape,
-        canonical_scale, crop_size, window, dtype)
+        canonical_scale, crop_size, window, dtype, block_r, block_w)
     qpad = wxm.shape[1]
 
     # ROIs per grid step: amortizes the fixed per-step cost (measured ~14 ms
@@ -397,13 +411,14 @@ def pyramid_roi_align_pallas(
                                lambda i, *_: (i, 0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, G, crop_size, 2, window, c), dtype),
-            pltpu.VMEM((2, G, BLOCK_R, BLOCK_W, c), dtype),
+            pltpu.VMEM((2, G, max(block_r, 2), max(block_w, 8), c), dtype),
             pltpu.SemaphoreType.DMA((2, G)),
         ],
     )
     call = pl.pallas_call(
         functools.partial(_kernel, P=crop_size, window=window,
-                          L=len(srcs), G=G, ablate=ablate),
+                          L=len(srcs), BR=block_r, BW=block_w,
+                          G=G, ablate=ablate),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((chunk, crop_size, crop_size, c),
                                        dtype),
