@@ -43,7 +43,7 @@ def generate_proposals(
     max_proposals: int = 1000,
     nms_threshold: float = 0.7,
     nms_tile: int = 512,
-    topk_recall: float | None = 0.999,
+    topk_recall: float | None = 0.95,
 ):
     """(A,) fg scores + (A,4) deltas + (A,4) anchors -> padded ROIs.
 
@@ -57,14 +57,16 @@ def generate_proposals(
     fg_scores = fg_scores.astype(jnp.float32)
     # Top-k replaces the reference's 45 ms vDSP sort hotspot
     # (ProposalLayer.swift:131-133). On TPU, `approx_max_k` (a PartialReduce
-    # that shards the score vector and keeps per-shard leaders, then exact
-    # top-k's the candidate pool) measured ~23x faster than the exact
-    # variadic sort at 262k anchors with recall 1.0000 at rank 6000; the
-    # returned k candidates are exactly sorted, so downstream NMS order is
-    # unchanged. Non-TPU backends lower it to the exact op. `topk_recall=
-    # None` forces exact `lax.top_k` everywhere. (Two other formulations
-    # measured SLOWER and were reverted — threshold-bisection top-k, 4x,
-    # and nothing else beats the fused sort: see git history.)
+    # that keeps per-window leaders, then exact top-k's the candidate pool)
+    # returns exactly sorted candidates, so downstream NMS order is
+    # unchanged. Measured at batch 48 over 262k scores: exact top_k 32 ms;
+    # recall targets >= 0.99 degenerate to l == n (no reduction, 16.9 ms);
+    # 0.95 actually reduces (8.2 ms) and leaves 99.96% of the final
+    # post-NMS proposals bit-identical (see core/config.py and
+    # docs/PERF.md). Non-TPU backends lower it to the exact op.
+    # `topk_recall=None` forces exact `lax.top_k` everywhere. (Two other
+    # formulations measured SLOWER and were reverted — threshold-bisection
+    # top-k, 4x, and nothing else beats the fused sort: see git history.)
     if topk_recall is not None and k < a:
         _, top_idx = jax.lax.approx_max_k(
             fg_scores, k, recall_target=topk_recall)
