@@ -77,6 +77,9 @@ def _block_dims(crop: int) -> tuple[int, int]:
     return (0, 0) if crop <= 7 else (24, 32)
 
 
+MM_S = 16  # mmprobe: steps per dummy classifier matmul burst
+
+
 def _pad_level(f):
     """x-pad one (B, H, W, C) level so the window DMAs stay in bounds.
 
@@ -176,7 +179,12 @@ def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
             wxm_ref, *rest,
             P: int, window: int, L: int, BR: int, BW: int,
             G: int = 1, ablate: str = ""):
-    srcs, (out_ref, buf, bbuf, sems) = rest[:L], rest[L:]
+    if ablate == "mmprobe":
+        srcs, (out_ref, buf, bbuf, sems, wmm, accmm) = rest[:L], rest[L:]
+    elif ablate == "flatprobe":
+        srcs, (out_ref, buf, bbuf, sems, flat) = rest[:L], rest[L:]
+    else:
+        srcs, (out_ref, buf, bbuf, sems) = rest[:L], rest[L:]
     # Scalar-prefetch refs are FLAT 1-D (index [j*k + p]): 2-D SMEM arrays
     # pad every row to 512 B, which blows the 1 MB SMEM budget at useful
     # chunk sizes; flat arrays pack tight.
@@ -342,6 +350,35 @@ def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
                 for p in range(P):
                     combine_strip(j, g, p, window)
 
+    if ablate == "mmprobe":
+        # Throwaway experiment: does a classifier-head-sized matmul burst
+        # hide under the DMA waits? Every MM_S steps do
+        # (MM_S*G, P*P*C) @ (P*P*C, 1024) on garbage scratch and fold the
+        # result into the output (to defeat DCE). Timing-only; output is
+        # numerically meaningless in this mode.
+        @pl.when(jax.lax.rem(i, MM_S) == MM_S - 1)
+        def _():
+            z = jnp.dot(accmm[...], wmm[...],
+                        preferred_element_type=jnp.float32)
+            out_ref[0, 0, 0, :] = (
+                out_ref[0, 0, 0, :]
+                + jnp.sum(z, axis=0)[:out_ref.shape[-1]].astype(
+                    out_ref.dtype))
+
+    if ablate == "flatprobe":
+        # Throwaway experiment: cost of the per-ROI pooled flatten a fused
+        # classifier head would need — (P, P, C) sublane-major -> one
+        # (1, P*P*C) lane-major row (a Mosaic relayout). Timing-only.
+        c_out = out_ref.shape[-1]
+        for g in range(G):
+            v = out_ref[g, :, :, :].astype(jnp.float32).reshape(
+                1, P * P * c_out)
+            flat[0, :] += v[0, :]
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            out_ref[0, 0, 0, :] = (out_ref[0, 0, 0, :]
+                                   + flat[0, :c_out].astype(out_ref.dtype))
+
 
 @functools.partial(
     jax.jit, static_argnames=("crop_size", "image_shape", "canonical_scale",
@@ -413,7 +450,11 @@ def pyramid_roi_align_pallas(
             pltpu.VMEM((2, G, crop_size, 2, window, c), dtype),
             pltpu.VMEM((2, G, max(block_r, 2), max(block_w, 8), c), dtype),
             pltpu.SemaphoreType.DMA((2, G)),
-        ],
+        ] + ([pltpu.VMEM((crop_size * crop_size * c, 1024), dtype),
+              pltpu.VMEM((MM_S * G, crop_size * crop_size * c), dtype)]
+             if ablate == "mmprobe" else [])
+        + ([pltpu.VMEM((1, crop_size * crop_size * c), jnp.float32)]
+           if ablate == "flatprobe" else []),
     )
     call = pl.pallas_call(
         functools.partial(_kernel, P=crop_size, window=window,

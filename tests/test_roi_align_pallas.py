@@ -52,6 +52,20 @@ def test_pallas_matches_xla(rng, crop):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=3e-5)
 
 
+def test_pallas_block_override_crop7(rng):
+    """block=(16, 32) forces the single-block DMA path for pool-7 (off by
+    default per docs/PERF.md negative result #10) — must stay exact."""
+    feats = make_batched_pyramid(rng)
+    rois = np.stack([mixed_rois(rng, 24)])
+    got = np.asarray(pyramid_roi_align_pallas(
+        [jnp.asarray(f[:1]) for f in feats], jnp.asarray(rois), 7,
+        IMAGE_SHAPE, CANONICAL, interpret=True, block=(16, 32)))
+    want = np.asarray(pyramid_roi_align_pallas(
+        [jnp.asarray(f[:1]) for f in feats], jnp.asarray(rois), 7,
+        IMAGE_SHAPE, CANONICAL, interpret=True, block=(0, 0)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=3e-5)
+
+
 def test_pallas_chunked_scan_path(rng):
     """More ROIs than one chunk -> the lax.scan path, same results."""
     feats = make_batched_pyramid(rng, b=1, c=8, base=32)
