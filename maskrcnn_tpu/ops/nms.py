@@ -60,7 +60,11 @@ def nms_padded(
         exceeds this (strict >, matching `Utils.swift:203`).
       max_out: number of output slots.
       tile_size: blockwise tile width (multiple of 128 for VPU lanes).
-      return_mask: also return the full (N,) keep mask.
+      return_mask: also return the (N,) keep mask. On the Pallas path the
+        mask is exact only up to the `max_out`-th selection — the kernel
+        stops its tile walk there (see `nms_pallas.py`), so later flags
+        read zero. The indices/valid_out outputs are unaffected (they only
+        ever report the first `max_out` selections).
 
     Returns:
       indices: (max_out,) int32 indices into `boxes` of kept rows in selection

@@ -9,12 +9,21 @@ stop-at-max_out via the compact-buffer argument documented there), which the
 reference implements as a scalar Swift loop (`Utils.swift:185-218`).
 
 Kernel structure per tile:
-  1. cross-suppression: (cap, B) IoU of the kept-buffer vs the tile (VPU);
+  1. cross-suppression: IoU of the kept-buffer vs the tile (VPU), chunked
+     over the buffer so only its FILLED 128-row chunks are computed (zero
+     rows are inert but not free — early tiles see a near-empty buffer);
   2. within-tile fixpoint of the suppression relation (`lax.while_loop`,
      converges to the unique greedy solution);
   3. keep-mask write + kept-buffer append, the append expressed as a
      (cap, B) one-hot matmul instead of a scatter (MXU-friendly, no
      per-element stores).
+
+The tile walk itself is a `while_loop` that stops once `max_out` boxes are
+kept: selection order equals index order, so keepers found after the cap can
+never enter the first `max_out` output slots (`ops/nms.py::_compact` takes
+exactly those) — the remaining tiles' flags are dead either way and their
+rows stay at the zero the kernel writes up front. At the proposal stage
+(6k boxes -> 1k kept at IoU 0.7) this typically skips most of the walk.
 """
 
 from __future__ import annotations
@@ -48,7 +57,12 @@ def _pairwise_iou(a, b):
 
 
 def _nms_kernel(boxes_ref, cand_ref, keep_ref, buf_ref, cnt_ref, *,
-                num_tiles: int, tile: int, cap: int, threshold: float):
+                num_tiles: int, tile: int, cap: int, max_out: int,
+                threshold: float):
+    # Zero the whole keep output first: the early-exit walk below may never
+    # visit the tail tiles (their flags are semantically dead — see module
+    # docstring — but the output buffer starts uninitialized).
+    keep_ref[...] = jnp.zeros_like(keep_ref)
     buf_ref[...] = jnp.zeros_like(buf_ref)
     cnt_ref[0] = 0
 
@@ -56,15 +70,44 @@ def _nms_kernel(boxes_ref, cand_ref, keep_ref, buf_ref, cnt_ref, *,
     col = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
     upper = row < col
 
-    def tile_body(t, _):
+    # Cross-suppression buffer chunk: 128 sublanes of the (cap, 4) buffer.
+    # cap is a multiple of 8, so the last chunk may be short — handled by a
+    # static final chunk when cap % 128 != 0.
+    chunk = min(128, cap)
+
+    def tile_body(state):
+        t, cnt = state
         start = t * tile
         tb = boxes_ref[pl.ds(start, tile), :]          # (B, 4)
         tc = cand_ref[pl.ds(start, tile), :]           # (B, 1) f32
 
         area = (tb[:, 2:3] - tb[:, 0:1]) * (tb[:, 3:4] - tb[:, 1:2])  # (B,1)
-        cross = _pairwise_iou(buf_ref[...], tb)        # (cap, B)
-        sup = jnp.max(jnp.where(cross > threshold, 1.0, 0.0),
-                      axis=0, keepdims=True).T          # (B, 1)
+
+        # Suppression by earlier keepers: walk only the buffer chunks that
+        # hold real boxes (ceil(cnt / chunk) of them); zero rows beyond cnt
+        # are inert, but skipping them skips their IoU compute entirely.
+        def chunk_body(cstate):
+            c, sup_acc = cstate
+            cb = buf_ref[pl.ds(c * chunk, chunk), :]   # (chunk, 4)
+            ci = _pairwise_iou(cb, tb)                 # (chunk, B)
+            hitc = jnp.max(jnp.where(ci > threshold, 1.0, 0.0),
+                           axis=0, keepdims=True).T    # (B, 1)
+            return c + 1, jnp.maximum(sup_acc, hitc)
+
+        full_chunks = cap // chunk
+        active = jnp.minimum((cnt + chunk - 1) // chunk, full_chunks)
+        _, sup = jax.lax.while_loop(
+            lambda s: s[0] < active, chunk_body,
+            (jnp.int32(0), jnp.zeros((tile, 1), jnp.float32)))
+        if cap % chunk:
+            # Static tail chunk (cap not a multiple of 128): only computed
+            # when the buffer has filled past the full chunks.
+            tail = buf_ref[pl.ds(full_chunks * chunk, cap % chunk), :]
+            ti = _pairwise_iou(tail, tb)
+            tail_hit = jnp.max(jnp.where(ti > threshold, 1.0, 0.0),
+                               axis=0, keepdims=True).T
+            sup = jnp.where(cnt > full_chunks * chunk,
+                            jnp.maximum(sup, tail_hit), sup)
         cand = jnp.where(
             (tc > 0.0) & (area > 0.0) & (sup == 0.0), 1.0, 0.0)  # (B,1)
 
@@ -90,7 +133,7 @@ def _nms_kernel(boxes_ref, cand_ref, keep_ref, buf_ref, cnt_ref, *,
         # prefix sum via a lower-triangular matmul (Mosaic has no cumsum).
         incl = jnp.dot(jnp.where(row >= col, 1.0, 0.0), keep_t,
                        preferred_element_type=jnp.float32)  # (B, 1)
-        ranks = (jnp.asarray(cnt_ref[0], jnp.float32)
+        ranks = (jnp.asarray(cnt, jnp.float32)
                  + incl - 1.0)  # (B, 1) f32 slot ids
         slot_rows = jax.lax.broadcasted_iota(
             jnp.int32, (cap, tile), 0).astype(jnp.float32)
@@ -103,11 +146,14 @@ def _nms_kernel(boxes_ref, cand_ref, keep_ref, buf_ref, cnt_ref, *,
             cvals = tb[:, coord:coord + 1].T                  # (1, B)
             buf_ref[:, coord:coord + 1] += jnp.max(
                 jnp.where(hit, cvals, 0.0), axis=1, keepdims=True)
-        cnt_ref[0] = jnp.minimum(
-            cnt_ref[0] + jnp.sum(keep_t).astype(jnp.int32), cap)
-        return 0
+        cnt = jnp.minimum(cnt + jnp.sum(keep_t).astype(jnp.int32), cap)
+        return t + 1, cnt
 
-    jax.lax.fori_loop(0, num_tiles, tile_body, 0)
+    # Early-exit tile walk: stop as soon as max_out boxes are kept.
+    _, cnt_end = jax.lax.while_loop(
+        lambda s: (s[0] < num_tiles) & (s[1] < max_out), tile_body,
+        (jnp.int32(0), jnp.int32(0)))
+    cnt_ref[0] = cnt_end
 
 
 @functools.partial(
@@ -135,7 +181,7 @@ def nms_keep_pallas(
     keep = pl.pallas_call(
         functools.partial(
             _nms_kernel, num_tiles=num_tiles, tile=tile_size, cap=cap,
-            threshold=float(iou_threshold)),
+            max_out=max_out, threshold=float(iou_threshold)),
         out_shape=jax.ShapeDtypeStruct((np_, 1), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
