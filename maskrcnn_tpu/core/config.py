@@ -85,6 +85,13 @@ class MaskRCNNConfig:
     # reference quantizes weights to fp16 (Conversion/task.py:90,102,114);
     # bf16 is the TPU-idiomatic equivalent.
 
+    # Run the classifier head INSIDE the pool-7 ROIAlign Pallas kernel
+    # (ops/roi_align_pallas.py::pack_classifier_head): the head's matmuls
+    # ride the kernel's DMA-segment-rate shadow instead of occupying their
+    # own pipeline slot. TPU-only; identical math (BN folded into the
+    # dense weights — inference BN is affine).
+    fuse_classifier_head: bool = False
+
     # --- training (capability the reference stubs out: TrainCommand.swift) -
     # BN statistics during training: "batch" (live batch stats — required
     # when training from scratch; moving stats are re-estimated afterwards by

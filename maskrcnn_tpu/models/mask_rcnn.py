@@ -146,13 +146,23 @@ def forward(
     # straight from the four level arrays (ops/roi_align_pallas.py);
     # elsewhere the XLA gather path shares a widened flat pair table.
     use_pallas_align = jax.default_backend() == "tpu"
+    fuse_cls = use_pallas_align and config.fuse_classifier_head
+    r = config.max_proposals
     if use_pallas_align:
         from maskrcnn_tpu.ops.roi_align_pallas import (
-            pyramid_roi_align_pallas)
+            pack_classifier_head, pyramid_roi_align_pallas,
+            unpack_classifier_head)
         with stage("roi_align_classifier"):
-            pooled = pyramid_roi_align_pallas(
-                list(pyramid[:4]), rois, config.pool_size, image_hw,
-                config.roi_canonical_scale)
+            if fuse_cls:
+                packed = pack_classifier_head(params, config.num_classes,
+                                              dtype)
+                pooled, head_out = pyramid_roi_align_pallas(
+                    list(pyramid[:4]), rois, config.pool_size, image_hw,
+                    config.roi_canonical_scale, head_params=packed)
+            else:
+                pooled = pyramid_roi_align_pallas(
+                    list(pyramid[:4]), rois, config.pool_size, image_hw,
+                    config.roi_canonical_scale)
     else:
         with stage("flat_pyramid"):
             flat_pyr = jax.vmap(lambda *f: build_flat_pyramid(f))(*pyramid[:4])
@@ -163,11 +173,14 @@ def forward(
             pooled = jax.vmap(lambda f, r: align_cls(f, r))(flat_pyr, rois)
     # (B, R, pool, pool, C) -> heads run dense over B*R
 
-    r = config.max_proposals
     with stage("classifier_head"):
-        probs, deltas = heads.apply_classifier_head(
-            params, pooled.reshape((b * r,) + pooled.shape[2:]),
-            config.num_classes, dtype=dtype)
+        if fuse_cls:
+            probs, deltas, _ = unpack_classifier_head(
+                head_out, config.num_classes)
+        else:
+            probs, deltas = heads.apply_classifier_head(
+                params, pooled.reshape((b * r,) + pooled.shape[2:]),
+                config.num_classes, dtype=dtype)
     probs = probs.reshape(b, r, -1)
     deltas = deltas.reshape(b, r, config.num_classes, 4)
 

@@ -77,7 +77,58 @@ def _block_dims(crop: int) -> tuple[int, int]:
     return (0, 0) if crop <= 7 else (24, 32)
 
 
-MM_S = 16  # mmprobe: steps per dummy classifier matmul burst
+MM_S = 16  # fused-head (and mmprobe) steps per classifier matmul burst
+HEAD_OUT = 512  # fused-head packed output lanes: [logits | deltas], padded
+
+
+def pack_classifier_head(params, num_classes: int, dtype=jnp.bfloat16):
+    """Fold the classifier head into three resident matmuls for the fused
+    ROIAlign kernel.
+
+    The head (`models/heads.py::apply_classifier_head`) is dense(7*7*256 ->
+    1024) + BN + relu, dense(1024 -> 1024) + BN + relu, then logits/deltas.
+    Inference BN is affine, so it folds into the preceding dense:
+    y = (xW + b - mu) * s + beta  ==  x (W*s) + ((b - mu)*s + beta) with
+    s = gamma * rsqrt(var + eps). The logits and bbox heads pack into one
+    (1024, HEAD_OUT) matrix: columns [0, num_classes) are class logits,
+    [128, 128 + 4*num_classes) are box deltas, the rest zero.
+    """
+    def fold(dense_p, bn_p):
+        s = bn_p["gamma"] * jax.lax.rsqrt(bn_p["moving_variance"] + 1e-3)
+        w = dense_p["kernel"].astype(jnp.float32) * s[None, :]
+        b = (dense_p["bias"].astype(jnp.float32) - bn_p["moving_mean"]) * s \
+            + bn_p["beta"]
+        return w.astype(dtype), b.astype(jnp.float32)[None, :]
+
+    k1 = params["mrcnn_class_conv1"]
+    w1, b1 = fold({"kernel": k1["kernel"].reshape(-1, k1["kernel"].shape[-1]),
+                   "bias": k1["bias"]}, params["mrcnn_class_bn1"])
+    k2 = params["mrcnn_class_conv2"]
+    w2, b2 = fold({"kernel": k2["kernel"].reshape(k2["kernel"].shape[-2],
+                                                  k2["kernel"].shape[-1]),
+                   "bias": k2["bias"]}, params["mrcnn_class_bn2"])
+
+    nd = 4 * num_classes
+    assert num_classes <= 128 and 128 + nd <= HEAD_OUT
+    fc = params["mrcnn_class_logits"]["kernel"].shape[0]
+    w3 = jnp.zeros((fc, HEAD_OUT), jnp.float32)
+    w3 = w3.at[:, :num_classes].set(
+        params["mrcnn_class_logits"]["kernel"].astype(jnp.float32))
+    w3 = w3.at[:, 128:128 + nd].set(
+        params["mrcnn_bbox_fc"]["kernel"].astype(jnp.float32))
+    b3 = jnp.zeros((HEAD_OUT,), jnp.float32)
+    b3 = b3.at[:num_classes].set(params["mrcnn_class_logits"]["bias"])
+    b3 = b3.at[128:128 + nd].set(params["mrcnn_bbox_fc"]["bias"])
+    return {"w1": w1, "b1": b1, "w2": w2, "b2": b2,
+            "w3": w3.astype(dtype), "b3": b3[None, :]}
+
+
+def unpack_classifier_head(head_out, num_classes: int):
+    """(M, HEAD_OUT) f32 packed rows -> probs (M, C), deltas (M, C, 4)."""
+    logits = head_out[:, :num_classes]
+    deltas = head_out[:, 128:128 + 4 * num_classes]
+    return (jax.nn.softmax(logits, axis=-1),
+            deltas.reshape(-1, num_classes, 4), logits)
 
 
 def _pad_level(f):
@@ -178,8 +229,12 @@ def _prepare(rois, img_idx, level_hw, padded_w, image_shape,
 def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
             wxm_ref, *rest,
             P: int, window: int, L: int, BR: int, BW: int,
-            G: int = 1, ablate: str = ""):
-    if ablate == "mmprobe":
+            G: int = 1, ablate: str = "", head: bool = False):
+    if head:
+        srcs = rest[:L]
+        w1, b1, w2, b2, w3, b3 = rest[L:L + 6]
+        out_ref, head_ref, buf, bbuf, sems, acc = rest[L + 6:]
+    elif ablate == "mmprobe":
         srcs, (out_ref, buf, bbuf, sems, wmm, accmm) = rest[:L], rest[L:]
     elif ablate == "flatprobe":
         srcs, (out_ref, buf, bbuf, sems, flat) = rest[:L], rest[L:]
@@ -350,6 +405,30 @@ def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
                 for p in range(P):
                     combine_strip(j, g, p, window)
 
+    if head:
+        # Fused classifier head (models/heads.py semantics, BN folded by
+        # `pack_classifier_head`). Each step stacks its G pooled ROIs as
+        # flat (1, P*P*C) rows into the burst buffer; every MM_S steps the
+        # whole (MM_S*G, P*P*C) burst runs the three-matmul head on the MXU
+        # while the next steps' strip DMAs are already in flight — the
+        # compute hides under the kernel's DMA-segment-rate floor
+        # (docs/PERF.md). head_ref's block index is i // MM_S, so the
+        # output block stays resident across the burst and flushes once.
+        for g in range(G):
+            v = out_ref[g, :, :, :].reshape(1, P * P * out_ref.shape[-1])
+            acc[pl.ds(jax.lax.rem(i, MM_S) * G + g, 1), :] = v
+
+        @pl.when((jax.lax.rem(i, MM_S) == MM_S - 1)
+                 | (i == pl.num_programs(0) - 1))
+        def _():
+            h = jnp.dot(acc[...], w1[...],
+                        preferred_element_type=jnp.float32)
+            h = jnp.maximum(h + b1[...], 0.0).astype(acc.dtype)
+            h = jnp.dot(h, w2[...], preferred_element_type=jnp.float32)
+            h = jnp.maximum(h + b2[...], 0.0).astype(acc.dtype)
+            o = jnp.dot(h, w3[...], preferred_element_type=jnp.float32)
+            head_ref[...] = o + b3[...]
+
     if ablate == "mmprobe":
         # Throwaway experiment: does a classifier-head-sized matmul burst
         # hide under the DMA waits? Every MM_S steps do
@@ -395,7 +474,8 @@ def pyramid_roi_align_pallas(
     ablate: str = "",
     group: int | None = None,
     block: tuple[int, int] | None = None,
-) -> jnp.ndarray:
+    head_params=None,
+):
     """Batched pyramid ROIAlign: (B, N, crop, crop, C) pooled features.
 
     Args:
@@ -403,6 +483,10 @@ def pyramid_roi_align_pallas(
         first), true (unpadded) widths. Narrow levels are x-padded here;
         under one jit the pool-7 and pool-14 calls CSE to a single pad.
       rois: (B, N, 4) normalized y1x1y2x2; zero rows -> zero output.
+      head_params: optional `pack_classifier_head` dict — fuses the
+        classifier head into the kernel (compute rides the DMA shadow) and
+        returns (pooled, head_out (B*N, HEAD_OUT) f32 packed rows; decode
+        with `unpack_classifier_head`).
     """
     level_hw = [(f.shape[1], f.shape[2]) for f in features]
     srcs = [_pad_level(f) for f in features]
@@ -426,6 +510,15 @@ def pyramid_roi_align_pallas(
     # buffer inside the VMEM budget at the pool-14 window size.
     G = group if group is not None else (8 if crop_size <= 7 else 4)
 
+    if head_params is not None:
+        assert not ablate, "head fusion and ablate modes are exclusive"
+        head_ops = [head_params[k] for k in ("w1", "b1", "w2", "b2",
+                                             "w3", "b3")]
+        assert head_ops[0].shape[0] == crop_size * crop_size * c, (
+            head_ops[0].shape, crop_size, c)
+    else:
+        head_ops = []
+
     chunk = min(chunk, round_up(m, G * 8))
     pad = (-m) % chunk
     if pad:
@@ -439,38 +532,49 @@ def pyramid_roi_align_pallas(
         a.reshape(nc, -1) if nc > 1 else a.reshape(-1)
         for a in (meta, rs, ca8, wy0, wy1))
 
+    steps = chunk // G
+    head_rows = round_up(steps, MM_S) * G
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(chunk // G,),
+        grid=(steps,),
         in_specs=[pl.BlockSpec((G, qpad, window), lambda i, *_: (i, 0, 0))]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * len(srcs),
-        out_specs=pl.BlockSpec((G, crop_size, crop_size, c),
-                               lambda i, *_: (i, 0, 0, 0)),
+        + [pl.BlockSpec(memory_space=pl.ANY)] * len(srcs)
+        + [pl.BlockSpec(h.shape, lambda i, *_: (0, 0)) for h in head_ops],
+        out_specs=[pl.BlockSpec((G, crop_size, crop_size, c),
+                                lambda i, *_: (i, 0, 0, 0))]
+        + ([pl.BlockSpec((MM_S * G, HEAD_OUT),
+                         lambda i, *_: (i // MM_S, 0))] if head_ops else []),
         scratch_shapes=[
             pltpu.VMEM((2, G, crop_size, 2, window, c), dtype),
             pltpu.VMEM((2, G, max(block_r, 2), max(block_w, 8), c), dtype),
             pltpu.SemaphoreType.DMA((2, G)),
-        ] + ([pltpu.VMEM((crop_size * crop_size * c, 1024), dtype),
-              pltpu.VMEM((MM_S * G, crop_size * crop_size * c), dtype)]
-             if ablate == "mmprobe" else [])
+        ] + ([pltpu.VMEM((MM_S * G, crop_size * crop_size * c), dtype)]
+             if head_ops else [])
+        + ([pltpu.VMEM((crop_size * crop_size * c, 1024), dtype),
+            pltpu.VMEM((MM_S * G, crop_size * crop_size * c), dtype)]
+           if ablate == "mmprobe" else [])
         + ([pltpu.VMEM((1, crop_size * crop_size * c), jnp.float32)]
            if ablate == "flatprobe" else []),
     )
     call = pl.pallas_call(
         functools.partial(_kernel, P=crop_size, window=window,
                           L=len(srcs), BR=block_r, BW=block_w,
-                          G=G, ablate=ablate),
+                          G=G, ablate=ablate, head=bool(head_ops)),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((chunk, crop_size, crop_size, c),
-                                       dtype),
+        out_shape=[jax.ShapeDtypeStruct((chunk, crop_size, crop_size, c),
+                                        dtype)]
+        + ([jax.ShapeDtypeStruct((head_rows, HEAD_OUT), jnp.float32)]
+           if head_ops else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )
 
     def run_chunk(sl):
-        return call(sl["meta"], sl["rs"], sl["ca8"], sl["wy0"], sl["wy1"],
-                    sl["wxm"], *srcs)
+        outs = call(sl["meta"], sl["rs"], sl["ca8"], sl["wy0"], sl["wy1"],
+                    sl["wxm"], *srcs, *head_ops)
+        # Burst rows are ROI-ordered; rows past `chunk` are rounding pad.
+        return (outs[0], outs[1][:chunk]) if head_ops else outs[0]
 
     xs = {"meta": meta, "rs": rs, "ca8": ca8, "wy0": wy0, "wy1": wy1,
           "wxm": wxm}
@@ -480,5 +584,10 @@ def pyramid_roi_align_pallas(
         xs["wxm"] = wxm.reshape((nc, chunk) + wxm.shape[1:])
         _, out = jax.lax.scan(
             lambda carry, sl: (carry, run_chunk(sl)), 0, xs)
-        out = out.reshape((mc, crop_size, crop_size, c))
+        out = jax.tree_util.tree_map(
+            lambda a: a.reshape((mc,) + a.shape[2:]), out)
+    if head_ops:
+        pooled, head_out = out
+        return (pooled[:m].reshape(bsz, n, crop_size, crop_size, c),
+                head_out[:m])
     return out[:m].reshape(bsz, n, crop_size, crop_size, c)

@@ -77,3 +77,74 @@ def test_pallas_chunked_scan_path(rng):
         [jnp.asarray(f[0]) for f in feats], jnp.asarray(rois[0]), 7,
         IMAGE_SHAPE, CANONICAL))
     np.testing.assert_allclose(got[0], want, rtol=1e-4, atol=3e-5)
+
+
+def test_fused_classifier_head(rng):
+    """head_params fusion == pooled -> apply_classifier_head (BN folded)."""
+    import jax
+    from maskrcnn_tpu.models.heads import (apply_classifier_head,
+                                           init_classifier_head)
+    from maskrcnn_tpu.ops.roi_align_pallas import (pack_classifier_head,
+                                                   unpack_classifier_head)
+
+    c, num_classes = 8, 11
+    feats = make_batched_pyramid(rng, b=2, c=c)
+    b = feats[0].shape[0]
+    rois = np.stack([mixed_rois(rng, 24) for _ in range(b)])
+    params = init_classifier_head(jax.random.PRNGKey(3), num_classes,
+                                  in_channels=c, pool_size=7, fc_dim=64)
+    # non-trivial BN stats so the folding is actually exercised
+    for bn in ("mrcnn_class_bn1", "mrcnn_class_bn2"):
+        params[bn]["moving_mean"] = jnp.asarray(
+            rng.standard_normal(params[bn]["moving_mean"].shape), jnp.float32)
+        params[bn]["moving_variance"] = jnp.asarray(
+            rng.uniform(0.5, 2.0, params[bn]["moving_variance"].shape),
+            jnp.float32)
+        params[bn]["gamma"] = jnp.asarray(
+            rng.uniform(0.5, 1.5, params[bn]["gamma"].shape), jnp.float32)
+        params[bn]["beta"] = jnp.asarray(
+            rng.standard_normal(params[bn]["beta"].shape), jnp.float32)
+
+    packed = pack_classifier_head(params, num_classes, dtype=jnp.float32)
+    pooled, head_out = pyramid_roi_align_pallas(
+        [jnp.asarray(f) for f in feats], jnp.asarray(rois), 7,
+        IMAGE_SHAPE, CANONICAL, interpret=True, head_params=packed)
+    probs, deltas, logits = unpack_classifier_head(head_out, num_classes)
+
+    flat = pooled.reshape((-1, 7, 7, c))
+    want_probs, want_deltas = apply_classifier_head(
+        params, flat, num_classes, dtype=jnp.float32)
+
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(want_probs),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(deltas), np.asarray(want_deltas),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_classifier_head_chunked(rng):
+    """Fusion through the lax.scan chunk path + partial-burst flush."""
+    import jax
+    from maskrcnn_tpu.models.heads import (apply_classifier_head,
+                                           init_classifier_head)
+    from maskrcnn_tpu.ops.roi_align_pallas import (pack_classifier_head,
+                                                   unpack_classifier_head)
+
+    c, num_classes = 8, 5
+    feats = make_batched_pyramid(rng, b=1, c=c)
+    rois = np.stack([np.concatenate(
+        [mixed_rois(rng, 24) for _ in range(4)])])  # 96 ROIs, chunk 64
+    params = init_classifier_head(jax.random.PRNGKey(5), num_classes,
+                                  in_channels=c, pool_size=7, fc_dim=32)
+    packed = pack_classifier_head(params, num_classes, dtype=jnp.float32)
+    pooled, head_out = pyramid_roi_align_pallas(
+        [jnp.asarray(f) for f in feats], jnp.asarray(rois), 7,
+        IMAGE_SHAPE, CANONICAL, interpret=True, head_params=packed,
+        chunk=64)
+    probs, deltas, _ = unpack_classifier_head(head_out, num_classes)
+    want_probs, want_deltas = apply_classifier_head(
+        params, pooled.reshape((-1, 7, 7, c)), num_classes,
+        dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(want_probs),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(deltas), np.asarray(want_deltas),
+                               rtol=2e-4, atol=2e-4)
