@@ -92,6 +92,12 @@ class MaskRCNNConfig:
     # dense weights — inference BN is affine).
     fuse_classifier_head: bool = False
 
+    # Run the ENTIRE mask head (4x conv3x3+BN+relu, 2x2/2 deconv, per-class
+    # select, sigmoid) inside the pool-14 ROIAlign kernel: activations never
+    # leave VMEM and the pool DMA hides under the conv matmuls
+    # (ops/roi_align_pallas.py::pack_mask_head). TPU-only; identical math.
+    fuse_mask_head: bool = False
+
     # --- training (capability the reference stubs out: TrainCommand.swift) -
     # BN statistics during training: "batch" (live batch stats — required
     # when training from scratch; moving stats are re-estimated afterwards by

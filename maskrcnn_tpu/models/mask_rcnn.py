@@ -194,28 +194,43 @@ def forward(
         detections, det_valid, _ = jax.vmap(refine)(rois, probs, deltas)
 
     det_boxes = detections[..., :4]  # (B, D, 4)
-    if use_pallas_align:
-        with stage("roi_align_mask"):
-            mask_pooled = pyramid_roi_align_pallas(
-                list(pyramid[:4]), det_boxes, config.mask_pool_size,
-                image_hw, config.roi_canonical_scale)
-    else:
-        align_mask = functools.partial(
-            pyramid_roi_align_flat, crop_size=config.mask_pool_size,
-            image_shape=image_hw, canonical_scale=config.roi_canonical_scale)
-        with stage("roi_align_mask"):
-            mask_pooled = jax.vmap(lambda f, r_: align_mask(f, r_))(
-                flat_pyr, det_boxes)
-
     d = config.max_detections
     # Per-detection class channel select (TimeDistributedMaskLayer.swift:71-75)
     # fused into the head's final 1x1 conv — only the detected class's mask
     # is ever computed.
     class_ids = detections[..., 4].astype(jnp.int32)  # (B, D)
-    with stage("mask_head"):
-        masks = heads.apply_mask_head(
-            params, mask_pooled.reshape((b * d,) + mask_pooled.shape[2:]),
-            dtype=dtype, class_ids=class_ids.reshape(b * d))
+    fuse_mask = (use_pallas_align and config.fuse_mask_head
+                 and config.mask_pool_size == 14)
+    if fuse_mask:
+        # The whole mask head runs inside the pool-14 ROIAlign kernel; the
+        # pooled activations never touch HBM.
+        from maskrcnn_tpu.ops.roi_align_pallas import (pack_mask_head,
+                                                       unpack_masks)
+        with stage("roi_align_mask_fused"):
+            _, mask_raw = pyramid_roi_align_pallas(
+                list(pyramid[:4]), det_boxes, config.mask_pool_size,
+                image_hw, config.roi_canonical_scale,
+                mask_params=pack_mask_head(params, dtype),
+                class_ids=class_ids)
+            masks = unpack_masks(mask_raw, config.mask_pool_size)
+    else:
+        if use_pallas_align:
+            with stage("roi_align_mask"):
+                mask_pooled = pyramid_roi_align_pallas(
+                    list(pyramid[:4]), det_boxes, config.mask_pool_size,
+                    image_hw, config.roi_canonical_scale)
+        else:
+            align_mask = functools.partial(
+                pyramid_roi_align_flat, crop_size=config.mask_pool_size,
+                image_shape=image_hw,
+                canonical_scale=config.roi_canonical_scale)
+            with stage("roi_align_mask"):
+                mask_pooled = jax.vmap(lambda f, r_: align_mask(f, r_))(
+                    flat_pyr, det_boxes)
+        with stage("mask_head"):
+            masks = heads.apply_mask_head(
+                params, mask_pooled.reshape((b * d,) + mask_pooled.shape[2:]),
+                dtype=dtype, class_ids=class_ids.reshape(b * d))
     masks = masks.reshape(b, d, config.mask_size, config.mask_size)
     masks = masks * det_valid[:, :, None, None].astype(masks.dtype)
 

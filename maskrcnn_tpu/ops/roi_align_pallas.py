@@ -131,6 +131,56 @@ def unpack_classifier_head(head_out, num_classes: int):
             deltas.reshape(-1, num_classes, 4), logits)
 
 
+def pack_mask_head(params, dtype=jnp.bfloat16):
+    """Fold the mask head (`models/heads.py::apply_mask_head`) for in-kernel
+    execution: 4x [3x3 conv + BN + relu] as im2col matmuls (bottleneck_pallas
+    pattern), the 2x2/2 deconv as one (C, 4C) matmul whose lane groups are
+    the four output parities, and the per-class 1x1 select as a per-ROI
+    weighted lane reduction. Inference BN folds into the conv weights."""
+    def fold(conv, bn):
+        k = jnp.asarray(conv["kernel"], jnp.float32)
+        b = jnp.asarray(conv["bias"], jnp.float32)
+        s = jnp.asarray(bn["gamma"], jnp.float32) * jax.lax.rsqrt(
+            jnp.asarray(bn["moving_variance"], jnp.float32) + 1e-3)
+        t = (jnp.asarray(bn["beta"], jnp.float32)
+             - jnp.asarray(bn["moving_mean"], jnp.float32) * s)
+        return k * s, b * s + t
+
+    wconv, bconv = [], []
+    for i in range(1, 5):
+        k, b = fold(params[f"mrcnn_mask_conv{i}"], params[f"mrcnn_mask_bn{i}"])
+        wconv.append(k.reshape(9 * k.shape[2], k.shape[3]))  # (9C, C)
+        bconv.append(b)
+    c = wconv[0].shape[1]
+
+    # Deconv kernel 2x2 stride 2: out(2y+a, 2x+b) = in(y, x) @ K[a, b] + bias
+    # (stride == kernel size -> no tap overlap, no flip ambiguity in effect;
+    # verified against nn.conv2d_transpose in tests). Lane group ab = a*2+b.
+    kd = jnp.asarray(params["mrcnn_mask_deconv"]["kernel"], jnp.float32)
+    wdec = jnp.concatenate([kd[a, b] for a in range(2) for b in range(2)],
+                           axis=1)  # (C, 4C)
+    bdec = jnp.tile(jnp.asarray(params["mrcnn_mask_deconv"]["bias"],
+                                jnp.float32), 4)[None, :]  # (1, 4C)
+
+    km = params["mrcnn_mask"]  # 1x1 (1, 1, C, num_classes) + bias (nc,)
+    kcls = jnp.asarray(km["kernel"], jnp.float32).reshape(c, -1).T  # (nc, C)
+    return {"wconv": jnp.stack(wconv).astype(dtype),     # (4, 9C, C)
+            "bconv": jnp.stack(bconv).astype(jnp.float32),  # (4, C)
+            "wdec": wdec.astype(dtype), "bdec": bdec,
+            "kcls": kcls, "bcls": jnp.asarray(km["bias"], jnp.float32)}
+
+
+def unpack_masks(mask_out, crop: int):
+    """(M, 16*16, 4) f32 parity-grouped sigmoid masks -> (M, 2*crop, 2*crop).
+
+    Kernel rows are (y, x) over the padded 16x16 grid, lanes (a, b) the
+    deconv output parities: mask[2y+a, 2x+b] = mask_out[y*16+x, a*2+b]."""
+    m = mask_out.shape[0]
+    x = mask_out.reshape(m, 16, 16, 2, 2)
+    x = x.transpose(0, 1, 3, 2, 4).reshape(m, 32, 32)
+    return x[:, :2 * crop, :2 * crop]
+
+
 def _pad_level(f):
     """x-pad one (B, H, W, C) level so the window DMAs stay in bounds.
 
@@ -229,11 +279,16 @@ def _prepare(rois, img_idx, level_hw, padded_w, image_shape,
 def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
             wxm_ref, *rest,
             P: int, window: int, L: int, BR: int, BW: int,
-            G: int = 1, ablate: str = "", head: bool = False):
+            G: int = 1, ablate: str = "", head: bool = False,
+            mhead: bool = False):
     if head:
         srcs = rest[:L]
         w1, b1, w2, b2, w3, b3 = rest[L:L + 6]
         out_ref, head_ref, buf, bbuf, sems, acc = rest[L + 6:]
+    elif mhead:
+        srcs = rest[:L]
+        wconv, bconv, wdec, bdec, wcls, bcls = rest[L:L + 6]
+        out_ref, mask_ref, buf, bbuf, sems, act_a, act_b = rest[L + 6:]
     elif ablate == "mmprobe":
         srcs, (out_ref, buf, bbuf, sems, wmm, accmm) = rest[:L], rest[L:]
     elif ablate == "flatprobe":
@@ -341,6 +396,11 @@ def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
         # hold real values. After step 0 stale cells hold prior-ROI data.
         buf[...] = jnp.zeros_like(buf)
         bbuf[...] = jnp.zeros_like(bbuf)
+        if mhead:
+            # Margins + per-ROI y/x pad cells must start zero (they ARE the
+            # SAME-conv padding); conv masks keep them zero thereafter.
+            act_a[...] = jnp.zeros_like(act_a)
+            act_b[...] = jnp.zeros_like(act_b)
         if ablate != "nodma":
             issue(0, 0)
 
@@ -360,6 +420,12 @@ def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
         res = jnp.dot(wxm_ref[g, :, :width], s.astype(buf.dtype),
                       preferred_element_type=jnp.float32)  # (qpad, C)
         out_ref[g, p, :, :] = res[:P].astype(out_ref.dtype)
+        if mhead:
+            # Stack the pooled row into the conv activation buffer: row
+            # (g, y=p), sublanes x (res rows qpad..: wxm zero-pads past P,
+            # so x >= P cells land zero — the SAME-conv padding), 1-row
+            # top margin. y rows P..15 stay zero (init + conv masks).
+            act_a[1 + g * 16 + p, :, :] = res.astype(act_a.dtype)
 
     def combine_block(j, g, p):
         ry = rs_ref[j * P + p] - meta_ref[j * 5 + 4]
@@ -429,6 +495,53 @@ def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
             o = jnp.dot(h, w3[...], preferred_element_type=jnp.float32)
             head_ref[...] = o + b3[...]
 
+    if mhead:
+        # Fused mask head (models/heads.py::apply_mask_head semantics, BN
+        # folded by `pack_mask_head`), bottleneck_pallas pattern: each 3x3
+        # conv is ONE im2col matmul (K = 9C fills the MXU contraction);
+        # row taps are free dim-0 slices (1-row margins + per-ROI 16-row
+        # blocks keep neighbors' rows zero), column taps are whole-buffer
+        # sublane rolls whose wrap-around brings in the zero pad columns.
+        ro = G * 16
+        cch = act_a.shape[-1]
+        col_ok = jax.lax.broadcasted_iota(jnp.int32, (1, 16, 1), 1) < P
+        row_ok = (jax.lax.broadcasted_iota(jnp.int32, (ro, 1, 1), 0)
+                  % 16) < P
+        okm = row_ok & col_ok  # (ro, 16, 1)
+
+        bufs = (act_a, act_b)
+        for k in range(4):
+            t = bufs[k % 2][...]                     # (ro + 2, 16, C)
+            tf = t.astype(jnp.float32)
+            taps = (pltpu.roll(tf, 1, axis=1).astype(t.dtype), t,
+                    pltpu.roll(tf, 15, axis=1).astype(t.dtype))
+            patches = jnp.concatenate(
+                [taps[dx][dy:dy + ro]
+                 for dy in range(3) for dx in range(3)], axis=2)
+            y = jnp.dot(patches.reshape(ro * 16, 9 * cch), wconv[k],
+                        preferred_element_type=jnp.float32)
+            y = jnp.maximum(y + bconv[k:k + 1, :], 0.0).reshape(ro, 16, cch)
+            # Re-zero pad cells (they picked up relu(bias)); margins are
+            # never written and stay zero from the init.
+            y = jnp.where(okm, y, 0.0)
+            bufs[1 - k % 2][1:1 + ro] = y.astype(t.dtype)
+
+        # 2x2/2 deconv as one (C, 4C) matmul (lane group ab = a*2+b), then
+        # the per-detection class select as a weighted lane reduction —
+        # `TimeDistributedMaskLayer.swift:71-75` semantics without ever
+        # materializing the (M, 2P, 2P, num_classes) tensor.
+        flat = bufs[0][1:1 + ro].reshape(ro * 16, cch)
+        z = jnp.dot(flat, wdec[...], preferred_element_type=jnp.float32)
+        z = jnp.maximum(z + bdec[...], 0.0)          # (ro*16, 4C)
+        for g in range(G):
+            zg = z[g * 256:(g + 1) * 256, :]
+            wg = wcls[g:g + 1, :].astype(jnp.float32)  # (1, 4C)
+            prod = zg * wg
+            cols = [jnp.sum(prod[:, ab * cch:(ab + 1) * cch], axis=1,
+                            keepdims=True) for ab in range(4)]
+            logits = jnp.concatenate(cols, axis=1) + bcls[g:g + 1, :]
+            mask_ref[g, :, :] = jax.nn.sigmoid(logits)
+
     if ablate == "mmprobe":
         # Throwaway experiment: does a classifier-head-sized matmul burst
         # hide under the DMA waits? Every MM_S steps do
@@ -475,6 +588,8 @@ def pyramid_roi_align_pallas(
     group: int | None = None,
     block: tuple[int, int] | None = None,
     head_params=None,
+    mask_params=None,
+    class_ids=None,
 ):
     """Batched pyramid ROIAlign: (B, N, crop, crop, C) pooled features.
 
@@ -487,6 +602,12 @@ def pyramid_roi_align_pallas(
         classifier head into the kernel (compute rides the DMA shadow) and
         returns (pooled, head_out (B*N, HEAD_OUT) f32 packed rows; decode
         with `unpack_classifier_head`).
+      mask_params + class_ids: optional `pack_mask_head` dict and (B, N)
+        int32 detected classes — fuses the ENTIRE mask head (4x conv3x3 +
+        BN + relu, 2x2/2 deconv, per-class select, sigmoid) into the
+        kernel; returns (pooled, mask_out (B*N, 256, 4) f32 parity-grouped
+        rows; decode with `unpack_masks`). Requires crop_size 14 (the
+        16-cell padded grid doubles as SAME-conv padding).
     """
     level_hw = [(f.shape[1], f.shape[2]) for f in features]
     srcs = [_pad_level(f) for f in features]
@@ -512,6 +633,7 @@ def pyramid_roi_align_pallas(
 
     if head_params is not None:
         assert not ablate, "head fusion and ablate modes are exclusive"
+        assert mask_params is None
         head_ops = [head_params[k] for k in ("w1", "b1", "w2", "b2",
                                              "w3", "b3")]
         assert head_ops[0].shape[0] == crop_size * crop_size * c, (
@@ -519,12 +641,27 @@ def pyramid_roi_align_pallas(
     else:
         head_ops = []
 
+    if mask_params is not None:
+        assert not ablate and class_ids is not None
+        assert round_up(crop_size, 8) == 16, crop_size
+        mask_res = [mask_params[k] for k in ("wconv", "bconv", "wdec",
+                                             "bdec")]
+        assert mask_res[0].shape == (4, 9 * c, c), mask_res[0].shape
+        wsel = jnp.take(mask_params["kcls"], class_ids.reshape(m), axis=0)
+        wcls4 = jnp.tile(wsel, (1, 4)).astype(dtype)          # (M, 4C)
+        bsel = jnp.take(mask_params["bcls"],
+                        class_ids.reshape(m))[:, None]        # (M, 1)
+    else:
+        mask_res = []
+
     chunk = min(chunk, round_up(m, G * 8))
     pad = (-m) % chunk
     if pad:
         zi = lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
         meta, rs, ca8, wy0, wy1, wxm = map(
             zi, (meta, rs, ca8, wy0, wy1, wxm))
+        if mask_res:
+            wcls4, bsel = zi(wcls4), zi(bsel)
     mc = m + pad
     nc = mc // chunk
     # Flatten the scalar operands (see _kernel note on SMEM row padding).
@@ -539,17 +676,24 @@ def pyramid_roi_align_pallas(
         grid=(steps,),
         in_specs=[pl.BlockSpec((G, qpad, window), lambda i, *_: (i, 0, 0))]
         + [pl.BlockSpec(memory_space=pl.ANY)] * len(srcs)
-        + [pl.BlockSpec(h.shape, lambda i, *_: (0, 0)) for h in head_ops],
+        + [pl.BlockSpec(h.shape, lambda i, *_: (0, 0)) for h in head_ops]
+        + [pl.BlockSpec(h.shape, lambda i, *_, nd=h.ndim: (0,) * nd)
+           for h in mask_res]
+        + ([pl.BlockSpec((G, 4 * c), lambda i, *_: (i, 0)),
+            pl.BlockSpec((G, 1), lambda i, *_: (i, 0))] if mask_res else []),
         out_specs=[pl.BlockSpec((G, crop_size, crop_size, c),
                                 lambda i, *_: (i, 0, 0, 0))]
         + ([pl.BlockSpec((MM_S * G, HEAD_OUT),
-                         lambda i, *_: (i // MM_S, 0))] if head_ops else []),
+                         lambda i, *_: (i // MM_S, 0))] if head_ops else [])
+        + ([pl.BlockSpec((G, 256, 4), lambda i, *_: (i, 0, 0))]
+           if mask_res else []),
         scratch_shapes=[
             pltpu.VMEM((2, G, crop_size, 2, window, c), dtype),
             pltpu.VMEM((2, G, max(block_r, 2), max(block_w, 8), c), dtype),
             pltpu.SemaphoreType.DMA((2, G)),
         ] + ([pltpu.VMEM((MM_S * G, crop_size * crop_size * c), dtype)]
              if head_ops else [])
+        + ([pltpu.VMEM((G * 16 + 2, 16, c), dtype)] * 2 if mask_res else [])
         + ([pltpu.VMEM((crop_size * crop_size * c, 1024), dtype),
             pltpu.VMEM((MM_S * G, crop_size * crop_size * c), dtype)]
            if ablate == "mmprobe" else [])
@@ -559,35 +703,44 @@ def pyramid_roi_align_pallas(
     call = pl.pallas_call(
         functools.partial(_kernel, P=crop_size, window=window,
                           L=len(srcs), BR=block_r, BW=block_w,
-                          G=G, ablate=ablate, head=bool(head_ops)),
+                          G=G, ablate=ablate, head=bool(head_ops),
+                          mhead=bool(mask_res)),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((chunk, crop_size, crop_size, c),
                                         dtype)]
         + ([jax.ShapeDtypeStruct((head_rows, HEAD_OUT), jnp.float32)]
-           if head_ops else []),
+           if head_ops else [])
+        + ([jax.ShapeDtypeStruct((chunk, 256, 4), jnp.float32)]
+           if mask_res else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )
 
     def run_chunk(sl):
+        extra = [sl["wcls"], sl["bcls"]] if mask_res else []
         outs = call(sl["meta"], sl["rs"], sl["ca8"], sl["wy0"], sl["wy1"],
-                    sl["wxm"], *srcs, *head_ops)
-        # Burst rows are ROI-ordered; rows past `chunk` are rounding pad.
-        return (outs[0], outs[1][:chunk]) if head_ops else outs[0]
+                    sl["wxm"], *srcs, *head_ops, *mask_res, *extra)
+        if head_ops:
+            # Burst rows are ROI-ordered; rows past `chunk` are rounding pad.
+            return outs[0], outs[1][:chunk]
+        return (outs[0], outs[1]) if mask_res else outs[0]
 
     xs = {"meta": meta, "rs": rs, "ca8": ca8, "wy0": wy0, "wy1": wy1,
           "wxm": wxm}
+    if mask_res:
+        xs["wcls"], xs["bcls"] = wcls4, bsel
     if nc == 1:
         out = run_chunk(xs)
     else:
-        xs["wxm"] = wxm.reshape((nc, chunk) + wxm.shape[1:])
+        for k in set(xs) - {"meta", "rs", "ca8", "wy0", "wy1"}:
+            xs[k] = xs[k].reshape((nc, chunk) + xs[k].shape[1:])
         _, out = jax.lax.scan(
             lambda carry, sl: (carry, run_chunk(sl)), 0, xs)
         out = jax.tree_util.tree_map(
             lambda a: a.reshape((mc,) + a.shape[2:]), out)
-    if head_ops:
-        pooled, head_out = out
+    if head_ops or mask_res:
+        pooled, extra_out = out
         return (pooled[:m].reshape(bsz, n, crop_size, crop_size, c),
-                head_out[:m])
+                extra_out[:m])
     return out[:m].reshape(bsz, n, crop_size, crop_size, c)

@@ -148,3 +148,44 @@ def test_fused_classifier_head_chunked(rng):
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(deltas), np.asarray(want_deltas),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fused_mask_head(rng):
+    """mask_params fusion == pooled -> apply_mask_head(class_ids)."""
+    import jax
+    from maskrcnn_tpu.models.heads import apply_mask_head, init_mask_head
+    from maskrcnn_tpu.ops.roi_align_pallas import (pack_mask_head,
+                                                   unpack_masks)
+
+    c, num_classes = 8, 7
+    feats = make_batched_pyramid(rng, b=2, c=c)
+    b = feats[0].shape[0]
+    rois = np.stack([mixed_rois(rng, 24) for _ in range(b)])
+    class_ids = jnp.asarray(rng.integers(0, num_classes, (b, 24)), jnp.int32)
+    params = init_mask_head(jax.random.PRNGKey(7), num_classes,
+                            in_channels=c, channels=c)
+    for i in range(1, 5):  # non-trivial BN stats to exercise the folding
+        bn = params[f"mrcnn_mask_bn{i}"]
+        bn["moving_mean"] = jnp.asarray(
+            rng.standard_normal(c) * 0.1, jnp.float32)
+        bn["moving_variance"] = jnp.asarray(
+            rng.uniform(0.5, 2.0, c), jnp.float32)
+        bn["gamma"] = jnp.asarray(rng.uniform(0.5, 1.5, c), jnp.float32)
+        bn["beta"] = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
+    params["mrcnn_mask_deconv"]["bias"] = jnp.asarray(
+        rng.standard_normal(c) * 0.1, jnp.float32)
+    params["mrcnn_mask"]["bias"] = jnp.asarray(
+        rng.standard_normal(num_classes) * 0.1, jnp.float32)
+
+    packed = pack_mask_head(params, dtype=jnp.float32)
+    pooled, mask_raw = pyramid_roi_align_pallas(
+        [jnp.asarray(f) for f in feats], jnp.asarray(rois), 14,
+        IMAGE_SHAPE, CANONICAL, interpret=True, mask_params=packed,
+        class_ids=class_ids)
+    masks = unpack_masks(mask_raw, 14)  # (M, 28, 28)
+
+    want = apply_mask_head(params, pooled.reshape((-1, 14, 14, c)),
+                           dtype=jnp.float32,
+                           class_ids=class_ids.reshape(-1))
+    np.testing.assert_allclose(np.asarray(masks), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
