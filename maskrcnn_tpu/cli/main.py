@@ -44,7 +44,8 @@ def _load_config(path: str | None, name: str):
     return MaskRCNNConfig()
 
 
-def _build_detector(name: str, config_path, weights_path, products_dir=None):
+def _build_detector(name: str, config_path, weights_path, products_dir=None,
+                    data_parallel: int = 0):
     import jax
 
     from maskrcnn_tpu.pipeline.detector import MaskRCNNDetector
@@ -61,9 +62,14 @@ def _build_detector(name: str, config_path, weights_path, products_dir=None):
     if weights_path is None:
         print("# WARNING: no weights found — using random init",
               file=sys.stderr)
-        return MaskRCNNDetector.from_random(config), config
-    print(f"# loading weights: {weights_path}", file=sys.stderr)
-    return MaskRCNNDetector.from_checkpoint(config, weights_path), config
+        det = MaskRCNNDetector.from_random(config)
+    else:
+        print(f"# loading weights: {weights_path}", file=sys.stderr)
+        det = MaskRCNNDetector.from_checkpoint(config, weights_path)
+    if data_parallel:
+        det = MaskRCNNDetector(config, det.params,
+                               data_parallel=data_parallel)
+    return det, config
 
 
 # ---------------------------------------------------------------------------
@@ -109,7 +115,6 @@ def cmd_convert(args) -> int:
 
 def cmd_evaluate(args) -> int:
     import numpy as np
-    from PIL import Image
 
     from maskrcnn_tpu.evalkit.coco import COCODataset
     from maskrcnn_tpu.evalkit.cocoeval import COCOEvaluator
@@ -120,7 +125,8 @@ def cmd_evaluate(args) -> int:
 
     timer = StageTimer()
     detector, config = _build_detector(args.model, args.config, args.weights,
-                                       args.products_dir)
+                                       args.products_dir,
+                                       data_parallel=args.dp)
     ann_dir = args.annotations_dir or os.path.join("data", args.dataset)
     dataset = COCODataset.from_dir(ann_dir, args.type, args.year)
     images_dir = args.images_dir or os.path.join(
@@ -134,18 +140,24 @@ def cmd_evaluate(args) -> int:
     # The reference hardcodes the first 5 images sorted by id
     # (EvaluateCommand.swift:165); --limit makes that configurable, and
     # --batch amortizes the compiled pipeline over image chunks (the
-    # reference is strictly batch=1).
-    pending_imgs, pending_ids = [], []
+    # reference decodes and infers strictly serially at batch=1 —
+    # EvaluateCommand.swift:165-194). Decode+letterbox run in native code
+    # on a prefetch thread pool (pipeline/loader.py), so host decoding of
+    # the next batch overlaps device compute of the current one.
+    from maskrcnn_tpu.pipeline.loader import PrefetchLoader
+
+    pending, pending_ids = [], []
 
     def flush():
         nonlocal n
-        if not pending_imgs:
+        if not pending:
             return
         t0 = time.time()
         with timer.phase("inference"):
-            all_dets = detector.detect_images(
-                pending_imgs, batch_size=args.batch)
-        dt = (time.time() - t0) / len(pending_imgs)
+            all_dets = detector.detect_canvases(
+                [c for c, _ in pending], [w for _, w in pending],
+                batch_size=args.batch)
+        dt = (time.time() - t0) / len(pending)
         for img_id, dets in zip(pending_ids, all_dets):
             times.append(dt)
             # per-image wall time, like EvaluateCommand.swift:167,179,193
@@ -157,18 +169,25 @@ def cmd_evaluate(args) -> int:
             per_image[img_id] = dets
             eval_ids.append(img_id)
             n += 1
-        pending_imgs.clear()
+        pending.clear()
         pending_ids.clear()
 
-    for im in dataset.iter_images(limit=args.limit, sort_by_id=True):
-        path = os.path.join(images_dir, im.file_name)
-        if not os.path.exists(path):
-            print(f"# skipping {im.id}: {path} not found", file=sys.stderr)
-            continue
+    def iter_paths():
+        for im in dataset.iter_images(limit=args.limit, sort_by_id=True):
+            path = os.path.join(images_dir, im.file_name)
+            if not os.path.exists(path):
+                print(f"# skipping {im.id}: {path} not found",
+                      file=sys.stderr)
+                continue
+            yield im.id, path
+
+    loader = PrefetchLoader(iter_paths(), detector.config.image_height,
+                            depth=max(2 * args.batch, 4))
+    for img_id, canvas, win in loader:
         with timer.phase("load+decode"):
-            pending_imgs.append(np.asarray(Image.open(path).convert("RGB")))
-        pending_ids.append(im.id)
-        if len(pending_imgs) >= args.batch:
+            pending.append((canvas, win))  # decode already done off-thread
+        pending_ids.append(img_id)
+        if len(pending) >= args.batch:
             flush()
     flush()
     if n == 0:
@@ -413,14 +432,14 @@ def cmd_serve(args) -> int:
 # ---------------------------------------------------------------------------
 
 def cmd_demo(args) -> int:
-    import numpy as np
     from PIL import Image
 
+    from maskrcnn_tpu.pipeline.loader import decode_rgb
     from maskrcnn_tpu.utils.render import render_detections
 
     detector, config = _build_detector(args.model, args.config, args.weights,
                                        None)
-    img = np.asarray(Image.open(args.image).convert("RGB"))
+    img = decode_rgb(args.image)
     t0 = time.time()
     dets = detector.detect_images([img])[0]
     print(f"{len(dets)} detections in {(time.time()-t0)*1000:.0f} ms "
@@ -458,6 +477,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="images to evaluate (reference hardcodes 5)")
     e.add_argument("--batch", type=int, default=1,
                    help="inference batch size (reference is batch=1)")
+    e.add_argument("--dp", type=int, default=0,
+                   help="shard each batch over N local devices "
+                        "(0 = single device, -1 = all)")
     e.add_argument("--config")
     e.add_argument("--weights")
     e.add_argument("--products_dir")

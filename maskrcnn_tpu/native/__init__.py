@@ -1,8 +1,12 @@
 """Native (C++) runtime components, loaded via ctypes.
 
-Build is lazy and cached: the first import compiles `src/*.cpp` with g++ into
-`build/librle.so` (a few seconds, once). Pure-numpy fallbacks exist for every
-function so the framework degrades gracefully without a toolchain.
+Build is lazy and cached: the first use compiles `src/<name>.cpp` with g++
+into `build/lib<name>.so` (a few seconds, once). Pure-numpy fallbacks exist
+for every function so the framework degrades gracefully without a toolchain.
+
+Libraries:
+  * librle     — COCO RLE mask codec + IoU matrices (evalkit backend).
+  * libimageio — JPEG decode (libjpeg) + letterbox resize (data loader).
 """
 
 from __future__ import annotations
@@ -13,62 +17,86 @@ import subprocess
 import threading
 
 _HERE = os.path.dirname(__file__)
-_SRC = os.path.join(_HERE, "src", "rle.cpp")
 _BUILD_DIR = os.path.join(_HERE, "build")
-_SO = os.path.join(_BUILD_DIR, "librle.so")
 
 _lock = threading.Lock()
-_lib = None
-_lib_error: str | None = None
+_libs: dict[str, object] = {}
+_errors: dict[str, str] = {}
+
+i64 = ctypes.c_int64
+u64 = ctypes.c_uint64
+p_u8 = ctypes.POINTER(ctypes.c_uint8)
+p_u32 = ctypes.POINTER(ctypes.c_uint32)
+p_i64 = ctypes.POINTER(ctypes.c_int64)
+p_f32 = ctypes.POINTER(ctypes.c_float)
+p_f64 = ctypes.POINTER(ctypes.c_double)
 
 
-def _build() -> None:
-    os.makedirs(_BUILD_DIR, exist_ok=True)
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o",
-           _SO + ".tmp"]
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
-    os.replace(_SO + ".tmp", _SO)
+def _load(name: str, link_flags: list[str], bind) -> object | None:
+    """Build (if stale) + dlopen + bind signatures; None on any failure."""
+    with _lock:
+        if name in _libs:
+            return _libs[name]
+        if name in _errors:
+            return None
+        src = os.path.join(_HERE, "src", f"{name}.cpp")
+        so = os.path.join(_BUILD_DIR, f"lib{name}.so")
+        try:
+            if (not os.path.exists(so)
+                    or os.path.getmtime(so) < os.path.getmtime(src)):
+                os.makedirs(_BUILD_DIR, exist_ok=True)
+                cmd = (["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
+                        "-o", so + ".tmp"] + link_flags)
+                subprocess.run(cmd, check=True, capture_output=True,
+                               text=True)
+                os.replace(so + ".tmp", so)
+            lib = ctypes.CDLL(so)
+            bind(lib)
+        except Exception as e:  # missing g++/headers, bad cache, ...
+            _errors[name] = f"{type(e).__name__}: {e}"
+            return None
+        _libs[name] = lib
+        return lib
+
+
+def _bind_rle(lib) -> None:
+    lib.rle_encode.restype = i64
+    lib.rle_encode.argtypes = [p_u8, i64, i64, p_u32]
+    lib.rle_decode.restype = None
+    lib.rle_decode.argtypes = [p_u32, i64, i64, i64, p_u8]
+    lib.rle_area.restype = u64
+    lib.rle_area.argtypes = [p_u32, i64]
+    lib.rle_intersection.restype = u64
+    lib.rle_intersection.argtypes = [p_u32, i64, p_u32, i64]
+    lib.rle_iou_matrix.restype = None
+    lib.rle_iou_matrix.argtypes = [p_u32, p_i64, p_i64, i64,
+                                   p_u32, p_i64, p_i64, i64, p_u8, p_f64]
+    lib.bbox_iou_matrix.restype = None
+    lib.bbox_iou_matrix.argtypes = [p_f64, i64, p_f64, i64, p_u8, p_f64]
+    lib.poly_rasterize.restype = None
+    lib.poly_rasterize.argtypes = [p_f64, i64, i64, i64, p_u8]
+
+
+def _bind_imageio(lib) -> None:
+    c_char_p = ctypes.c_char_p
+    lib.img_jpeg_dims.restype = ctypes.c_int
+    lib.img_jpeg_dims.argtypes = [c_char_p, p_i64]
+    lib.img_decode_jpeg.restype = ctypes.c_int
+    lib.img_decode_jpeg.argtypes = [c_char_p, p_u8, i64, p_i64]
+    lib.img_letterbox_rgb8.restype = ctypes.c_int
+    lib.img_letterbox_rgb8.argtypes = [p_u8, i64, i64, i64, p_f32, p_f64]
+    lib.img_decode_letterbox_jpeg.restype = ctypes.c_int
+    lib.img_decode_letterbox_jpeg.argtypes = [c_char_p, i64, p_f32, p_f64]
 
 
 def get_rle_lib():
     """The compiled librle, or None if the toolchain is unavailable."""
-    global _lib, _lib_error
-    with _lock:
-        if _lib is not None or _lib_error is not None:
-            return _lib
-        try:
-            if (not os.path.exists(_SO)
-                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-                _build()
-            lib = ctypes.CDLL(_SO)
-        except Exception as e:  # missing g++, bad cache, ...
-            _lib_error = f"{type(e).__name__}: {e}"
-            return None
+    return _load("rle", [], _bind_rle)
 
-        i64 = ctypes.c_int64
-        u64 = ctypes.c_uint64
-        p_u8 = ctypes.POINTER(ctypes.c_uint8)
-        p_u32 = ctypes.POINTER(ctypes.c_uint32)
-        p_i64 = ctypes.POINTER(ctypes.c_int64)
-        p_f64 = ctypes.POINTER(ctypes.c_double)
 
-        lib.rle_encode.restype = i64
-        lib.rle_encode.argtypes = [p_u8, i64, i64, p_u32]
-        lib.rle_decode.restype = None
-        lib.rle_decode.argtypes = [p_u32, i64, i64, i64, p_u8]
-        lib.rle_area.restype = u64
-        lib.rle_area.argtypes = [p_u32, i64]
-        lib.rle_intersection.restype = u64
-        lib.rle_intersection.argtypes = [p_u32, i64, p_u32, i64]
-        lib.rle_iou_matrix.restype = None
-        lib.rle_iou_matrix.argtypes = [p_u32, p_i64, p_i64, i64,
-                                       p_u32, p_i64, p_i64, i64, p_u8, p_f64]
-        lib.bbox_iou_matrix.restype = None
-        lib.bbox_iou_matrix.argtypes = [p_f64, i64, p_f64, i64, p_u8, p_f64]
-        lib.poly_rasterize.restype = None
-        lib.poly_rasterize.argtypes = [p_f64, i64, i64, i64, p_u8]
-        _lib = lib
-        return _lib
+def get_imageio_lib():
+    """The compiled libimageio, or None (no toolchain / no libjpeg)."""
+    return _load("imageio", ["-ljpeg"], _bind_imageio)
 
 
 def native_available() -> bool:

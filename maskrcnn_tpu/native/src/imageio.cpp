@@ -1,0 +1,266 @@
+// Native image loader: JPEG decode (libjpeg) + letterbox resize.
+//
+// The host-side data path of the framework. The reference delegates this
+// work to OS-native code — Vision's `.scaleFit` letterbox rescale
+// (`Sources/maskrcnn/EvaluateCommand.swift:155-157`,
+// `Example/Source/ViewController.swift:42`) runs inside Apple's frameworks,
+// not Swift. Here the equivalent is a C++ decode+resize core driven from
+// Python via ctypes; calls release the GIL, so a small thread pool overlaps
+// host decoding with device compute (the analog of the reference's
+// 3-deep command-buffer pipelining, `PyramidROIAlignLayer.swift:143-179`).
+//
+// Resize semantics: separable triangle-filter convolution with support
+// scaled by the downscale factor — the same geometry PIL's
+// `Image.resize(..., BILINEAR)` uses — so the native path is
+// interchangeable with the PIL fallback in `pipeline/preprocess.py`
+// (tolerance-tested in tests/test_imageio.py). Intermediates are float,
+// so results may differ from PIL's fixed-point path by ~1 LSB.
+
+#include <cstddef>
+#include <cstdio>
+// jpeglib.h needs size_t/FILE declared first (classic libjpeg quirk).
+#include <jpeglib.h>
+
+#include <algorithm>
+#include <cmath>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// JPEG decode
+// ---------------------------------------------------------------------------
+
+struct ErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void error_exit(j_common_ptr cinfo) {
+  ErrorMgr* err = reinterpret_cast<ErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+void silent_emit(j_common_ptr, int) {}
+
+// Decodes `path` to 8-bit RGB. Returns 0 and fills `out`/`h`/`w`, or <0.
+int decode_jpeg_file(const char* path, std::vector<uint8_t>& out,
+                     int64_t& h, int64_t& w) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  jerr.pub.emit_message = silent_emit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return -2;  // corrupt / not a JPEG
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;  // grayscale/CMYK sources -> RGB
+  jpeg_start_decompress(&cinfo);
+  w = cinfo.output_width;
+  h = cinfo.output_height;
+  out.resize(static_cast<size_t>(h) * w * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out.data() + static_cast<size_t>(cinfo.output_scanline)
+                                    * w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(f);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Triangle-filter resampling (PIL BILINEAR geometry)
+// ---------------------------------------------------------------------------
+
+struct ResampleAxis {
+  std::vector<int> first;      // per out pixel: first source index
+  std::vector<int> count;      // per out pixel: number of taps
+  std::vector<float> weights;  // flattened, `stride` per out pixel
+  int stride = 0;
+};
+
+ResampleAxis compute_axis(int64_t insize, int64_t outsize) {
+  ResampleAxis ax;
+  const double scale = static_cast<double>(insize) / outsize;
+  const double filterscale = std::max(scale, 1.0);
+  const double support = filterscale;  // triangle filter support = 1.0
+  ax.stride = static_cast<int>(std::ceil(support)) * 2 + 1;
+  ax.first.resize(outsize);
+  ax.count.resize(outsize);
+  ax.weights.assign(static_cast<size_t>(outsize) * ax.stride, 0.0f);
+  for (int64_t i = 0; i < outsize; ++i) {
+    const double center = (i + 0.5) * scale;
+    int mn = static_cast<int>(std::max(0.0, std::floor(center - support)));
+    int mx = static_cast<int>(
+        std::min(static_cast<double>(insize), std::ceil(center + support)));
+    double sum = 0.0;
+    std::vector<double> tap(mx - mn);
+    for (int j = mn; j < mx; ++j) {
+      double x = (j + 0.5 - center) / filterscale;
+      double v = (x < 0 ? -x : x) < 1.0 ? 1.0 - (x < 0 ? -x : x) : 0.0;
+      tap[j - mn] = v;
+      sum += v;
+    }
+    ax.first[i] = mn;
+    ax.count[i] = mx - mn;
+    for (int j = 0; j < mx - mn; ++j)
+      ax.weights[i * ax.stride + j] =
+          static_cast<float>(sum > 0 ? tap[j] / sum : 0.0);
+  }
+  return ax;
+}
+
+// (h, w, 3) uint8 -> float32 (new_h, new_w, 3), separable two-pass.
+void resize_rgb(const uint8_t* src, int64_t h, int64_t w,
+                int64_t new_h, int64_t new_w, float* dst) {
+  ResampleAxis hx = compute_axis(w, new_w);
+  ResampleAxis vx = compute_axis(h, new_h);
+
+  // Pass 1: horizontal, (h, w, 3) u8 -> (h, new_w, 3) f32.
+  std::vector<float> tmp(static_cast<size_t>(h) * new_w * 3);
+  for (int64_t y = 0; y < h; ++y) {
+    const uint8_t* row = src + y * w * 3;
+    float* orow = tmp.data() + y * new_w * 3;
+    for (int64_t x = 0; x < new_w; ++x) {
+      const float* wts = &hx.weights[x * hx.stride];
+      const uint8_t* p = row + static_cast<int64_t>(hx.first[x]) * 3;
+      float r = 0, g = 0, b = 0;
+      for (int k = 0; k < hx.count[x]; ++k, p += 3) {
+        const float c = wts[k];
+        r += c * p[0];
+        g += c * p[1];
+        b += c * p[2];
+      }
+      orow[x * 3 + 0] = r;
+      orow[x * 3 + 1] = g;
+      orow[x * 3 + 2] = b;
+    }
+  }
+  // Pass 2: vertical, (h, new_w, 3) -> (new_h, new_w, 3).
+  const int64_t rowlen = new_w * 3;
+  for (int64_t y = 0; y < new_h; ++y) {
+    const float* wts = &vx.weights[y * vx.stride];
+    float* orow = dst + y * rowlen;
+    std::memset(orow, 0, rowlen * sizeof(float));
+    for (int k = 0; k < vx.count[y]; ++k) {
+      const float c = wts[k];
+      const float* irow = tmp.data()
+          + static_cast<size_t>(vx.first[y] + k) * rowlen;
+      for (int64_t x = 0; x < rowlen; ++x) orow[x] += c * irow[x];
+    }
+  }
+}
+
+// Letterbox geometry — must match pipeline/preprocess.compute_window:
+// Python round() is round-half-even, which is nearbyint's default mode.
+void letterbox_into(const uint8_t* rgb, int64_t h, int64_t w, int64_t size,
+                    float* canvas, double* meta) {
+  const double scale =
+      std::min(static_cast<double>(size) / h, static_cast<double>(size) / w);
+  const int64_t new_h =
+      std::max<int64_t>(static_cast<int64_t>(std::nearbyint(h * scale)), 1);
+  const int64_t new_w =
+      std::max<int64_t>(static_cast<int64_t>(std::nearbyint(w * scale)), 1);
+  const int64_t top = (size - new_h) / 2;
+  const int64_t left = (size - new_w) / 2;
+
+  std::memset(canvas, 0, static_cast<size_t>(size) * size * 3
+                             * sizeof(float));
+  std::vector<float> resized(static_cast<size_t>(new_h) * new_w * 3);
+  resize_rgb(rgb, h, w, new_h, new_w, resized.data());
+  for (int64_t y = 0; y < new_h; ++y)
+    std::memcpy(canvas + ((top + y) * size + left) * 3,
+                resized.data() + y * new_w * 3,
+                static_cast<size_t>(new_w) * 3 * sizeof(float));
+
+  meta[0] = static_cast<double>(top);
+  meta[1] = static_cast<double>(left);
+  meta[2] = static_cast<double>(top + new_h);
+  meta[3] = static_cast<double>(left + new_w);
+  meta[4] = scale;
+  meta[5] = static_cast<double>(h);
+  meta[6] = static_cast<double>(w);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Header-only probe: hw[0..1] <- (output h, w). Returns 0 or <0.
+int img_jpeg_dims(const char* path, int64_t* hw) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  jerr.pub.emit_message = silent_emit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return -2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_calc_output_dimensions(&cinfo);
+  hw[0] = cinfo.output_height;
+  hw[1] = cinfo.output_width;
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(f);
+  return 0;
+}
+
+// Raw decode for tests/fallbacks: fills out (cap bytes) with (h, w, 3) u8.
+// hw[0..1] receives (h, w). Returns 0, or <0 on error (-3: cap too small —
+// hw is still filled so the caller can retry with a bigger buffer).
+int img_decode_jpeg(const char* path, uint8_t* out, int64_t cap,
+                    int64_t* hw) {
+  std::vector<uint8_t> buf;
+  int64_t h = 0, w = 0;
+  int rc = decode_jpeg_file(path, buf, h, w);
+  if (rc != 0) return rc;
+  hw[0] = h;
+  hw[1] = w;
+  if (static_cast<int64_t>(buf.size()) > cap) return -3;
+  std::memcpy(out, buf.data(), buf.size());
+  return 0;
+}
+
+// (h, w, 3) u8 RGB -> (size, size, 3) f32 letterboxed canvas.
+// meta: [y1, x1, y2, x2, scale, orig_h, orig_w].
+int img_letterbox_rgb8(const uint8_t* rgb, int64_t h, int64_t w,
+                       int64_t size, float* canvas, double* meta) {
+  if (h <= 0 || w <= 0 || size <= 0) return -1;
+  letterbox_into(rgb, h, w, size, canvas, meta);
+  return 0;
+}
+
+// Fused path: JPEG file -> letterboxed f32 canvas, one call, no Python
+// round-trip for the decoded pixels.
+int img_decode_letterbox_jpeg(const char* path, int64_t size, float* canvas,
+                              double* meta) {
+  std::vector<uint8_t> buf;
+  int64_t h = 0, w = 0;
+  int rc = decode_jpeg_file(path, buf, h, w);
+  if (rc != 0) return rc;
+  letterbox_into(buf.data(), h, w, size, canvas, meta);
+  return 0;
+}
+
+}  // extern "C"

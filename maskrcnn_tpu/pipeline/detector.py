@@ -20,8 +20,7 @@ import jax.numpy as jnp
 from maskrcnn_tpu.core.anchors import generate_anchors
 from maskrcnn_tpu.core.config import MaskRCNNConfig
 from maskrcnn_tpu.models.mask_rcnn import forward, init_mask_rcnn
-from maskrcnn_tpu.pipeline.preprocess import (
-    LetterboxWindow, compute_window, letterbox_numpy)
+from maskrcnn_tpu.pipeline.preprocess import LetterboxWindow
 
 
 @dataclasses.dataclass
@@ -44,11 +43,22 @@ class MaskRCNNDetector:
     """
 
     def __init__(self, config: MaskRCNNConfig, params: dict[str, Any],
-                 mask_threshold: float = 0.5):
+                 mask_threshold: float = 0.5, data_parallel: int = 0):
+        """`data_parallel`: shard inference batches over this many local
+        devices (0 = single device, -1 = all). Params/anchors are
+        replicated once; XLA needs no cross-image collectives (SURVEY.md §2
+        parallelism inventory), so throughput scales linearly over ICI."""
         self.config = config
         self.params = params
         self.mask_threshold = mask_threshold
         self.anchors = jnp.asarray(generate_anchors(config))
+        self._mesh = None
+        if data_parallel:
+            from maskrcnn_tpu.parallel.mesh import make_mesh, replicate
+            n = len(jax.devices()) if data_parallel < 0 else data_parallel
+            self._mesh = make_mesh(n)
+            self.params = replicate(self._mesh, self.params)
+            self.anchors = replicate(self._mesh, self.anchors)
 
     @classmethod
     def from_random(cls, config: MaskRCNNConfig, seed: int = 0):
@@ -68,9 +78,29 @@ class MaskRCNNDetector:
 
     def run_batch(self, images: np.ndarray | jnp.ndarray) -> dict[str, Any]:
         """(B, S, S, 3) RGB [0,255] letterboxed batch -> raw padded outputs
-        (normalized coords, on device)."""
+        (normalized coords, on device; batch-sharded when data-parallel)."""
+        if self._mesh is not None:
+            return self._run_batch_dp(images)
         return forward(self.params, jnp.asarray(images), self.anchors,
                        self.config)
+
+    def _run_batch_dp(self, images) -> dict[str, Any]:
+        from maskrcnn_tpu.parallel.mesh import (data_parallel_forward,
+                                                shard_batch)
+
+        n = self._mesh.devices.size
+        b = images.shape[0]
+        pad = (-b) % n
+        if pad:  # keep the per-device shape static and equal
+            images = np.concatenate(
+                [np.asarray(images),
+                 np.zeros((pad, *images.shape[1:]), np.float32)])
+        out = data_parallel_forward(self._mesh, self.config, self.params,
+                                    shard_batch(self._mesh, images),
+                                    self.anchors)
+        if pad:
+            out = {k: v[:b] for k, v in out.items()}
+        return out
 
     # --- host decode -------------------------------------------------------
 
@@ -83,17 +113,31 @@ class MaskRCNNDetector:
         per configured size (None = one batch of len(images))."""
         if not images:
             return []
+        from maskrcnn_tpu.pipeline.loader import letterbox_rgb
+
         size = self.config.image_height
         canvases, windows = [], []
         for img in images:
-            canvas, win = letterbox_numpy(img, size)
+            canvas, win = letterbox_rgb(img, size)  # native C++ resample
             canvases.append(canvas)
             windows.append(win)
+        return self.detect_canvases(canvases, windows,
+                                    paste_masks=paste_masks,
+                                    batch_size=batch_size)
 
+    def detect_canvases(self, canvases: Sequence[np.ndarray],
+                        windows: Sequence[LetterboxWindow],
+                        paste_masks: bool = True,
+                        batch_size: int | None = None
+                        ) -> list[list[Detection]]:
+        """Pre-letterboxed (S, S, 3) float32 canvases (e.g. from
+        `pipeline.loader`) -> per-image decoded detections."""
+        if not canvases:
+            return []
         results: list[list[Detection]] = []
-        bs = batch_size or len(images)
-        for start in range(0, len(images), bs):
-            chunk = canvases[start:start + bs]
+        bs = batch_size or len(canvases)
+        for start in range(0, len(canvases), bs):
+            chunk = list(canvases[start:start + bs])
             n_real = len(chunk)
             while len(chunk) < bs:  # pad tail to keep the shape static
                 chunk.append(np.zeros_like(chunk[0]))

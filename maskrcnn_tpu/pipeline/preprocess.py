@@ -36,8 +36,9 @@ class LetterboxWindow:
 
 def compute_window(orig_h: int, orig_w: int, size: int) -> LetterboxWindow:
     scale = min(size / orig_h, size / orig_w)
-    new_h = int(round(orig_h * scale))
-    new_w = int(round(orig_w * scale))
+    # Clamp to >= 1 px so extreme aspect ratios keep a nonzero window.
+    new_h = max(int(round(orig_h * scale)), 1)
+    new_w = max(int(round(orig_w * scale)), 1)
     top = (size - new_h) // 2
     left = (size - new_w) // 2
     return LetterboxWindow(top, left, top + new_h, left + new_w, scale,

@@ -85,18 +85,17 @@ def run_stream(
 
 
 def frames_from_dir(path: str, size: int) -> Iterator[np.ndarray]:
-    """Letterboxed frames from an image directory (sorted by name)."""
+    """Letterboxed frames from an image directory (sorted by name), decoded
+    natively off-thread (pipeline/loader.py) so frame t+1's decode overlaps
+    frame t's device compute."""
     import os
 
-    from PIL import Image
+    from maskrcnn_tpu.pipeline.loader import PrefetchLoader
 
-    from maskrcnn_tpu.pipeline.preprocess import letterbox_numpy
-
-    for name in sorted(os.listdir(path)):
-        if not name.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")):
-            continue
-        img = np.asarray(Image.open(os.path.join(path, name)).convert("RGB"))
-        canvas, _ = letterbox_numpy(img, size)
+    names = [n for n in sorted(os.listdir(path))
+             if n.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))]
+    items = ((n, os.path.join(path, n)) for n in names)
+    for _, canvas, _ in PrefetchLoader(items, size):
         yield canvas
 
 

@@ -37,3 +37,28 @@ def test_dp_forward_matches_single_device(rng):
 
 def test_dryrun_step_runs():
     dryrun_step(4)
+
+
+def test_detector_data_parallel_matches_single(rng):
+    """MaskRCNNDetector(data_parallel=N) == single-device, incl. the
+    pad-to-mesh-multiple path for uneven batches."""
+    from maskrcnn_tpu.pipeline.detector import MaskRCNNDetector
+
+    cfg = tiny_test_config()
+    params = init_mask_rcnn(jax.random.PRNGKey(0), cfg)
+    det1 = MaskRCNNDetector(cfg, params)
+    det4 = MaskRCNNDetector(cfg, params, data_parallel=4)
+
+    # 6 images over a 4-device mesh: exercises tail padding (6 -> 8)
+    images = [rng.uniform(0, 255, (97, 128, 3)).astype(np.uint8)
+              for _ in range(6)]
+    r1 = det1.detect_images(images, paste_masks=False)
+    r4 = det4.detect_images(images, paste_masks=False)
+
+    assert len(r1) == len(r4) == 6
+    for a, b in zip(r1, r4):
+        assert len(a) == len(b)
+        for da, db in zip(a, b):
+            assert da.class_id == db.class_id
+            np.testing.assert_allclose(da.score, db.score, rtol=1e-5)
+            np.testing.assert_allclose(da.box, db.box, rtol=1e-4, atol=1e-3)
