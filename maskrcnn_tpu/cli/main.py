@@ -277,11 +277,24 @@ def cmd_train(args) -> int:
             batch_size=args.batch, seed=args.seed)
         loader = loader_obj.get_batch
 
-    if args.resume and args.state and os.path.exists(args.state):
-        from maskrcnn_tpu.train.checkpoint import restore_train_state
-        state = restore_train_state(state, args.state)
-        print(f"resumed from {args.state} at step {int(state.step)}")
+    from maskrcnn_tpu.train.checkpoint import (CheckpointManager,
+                                               MetricsLogger,
+                                               restore_train_state)
 
+    manager = (CheckpointManager(args.checkpoint_dir, keep=args.keep)
+               if args.checkpoint_dir else None)
+    if args.resume:
+        if manager is not None:
+            restored = manager.restore_latest(state)
+            if restored is not None:
+                state = restored
+                print(f"resumed from {args.checkpoint_dir} at step "
+                      f"{int(state.step)}")
+        elif args.state and os.path.exists(args.state):
+            state = restore_train_state(state, args.state)
+            print(f"resumed from {args.state} at step {int(state.step)}")
+
+    mlog = MetricsLogger(args.metrics_log)
     key = jax.random.PRNGKey(args.seed + 1)
     t0 = time.time()
     start_step = int(state.step)
@@ -293,6 +306,14 @@ def cmd_train(args) -> int:
                 or step == start_step + args.steps - 1):
             m_ = {k: round(float(v), 4) for k, v in metrics.items()}
             print(f"step {step:5d}  {m_}  ({time.time()-t0:.1f}s)")
+            mlog.log(step, metrics, time.time() - t0)
+        if (manager is not None and args.checkpoint_every
+                and (step + 1) % args.checkpoint_every == 0):
+            manager.save(state)
+    if manager is not None:
+        path = manager.save(state)
+        manager.wait()
+        print(f"train state saved: {path} (step {int(state.step)})")
     if args.state:
         from maskrcnn_tpu.train.checkpoint import save_train_state
         save_train_state(state, args.state)
@@ -510,7 +531,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip post-training BN statistics calibration")
     t.add_argument("--calibrate-batches", type=int, default=8)
     t.add_argument("--resume", action="store_true",
-                   help="resume from --state if it exists")
+                   help="resume from --checkpoint-dir (latest) or --state")
+    t.add_argument("--checkpoint-dir",
+                   help="directory for periodic ckpt_<step>.msgpack saves")
+    t.add_argument("--checkpoint-every", type=int, default=0,
+                   help="save every N steps (0 = only at the end)")
+    t.add_argument("--keep", type=int, default=3,
+                   help="checkpoints to retain in --checkpoint-dir")
+    t.add_argument("--metrics-log",
+                   help="append JSONL training metrics to this file")
     t.set_defaults(fn=cmd_train)
 
     d = sub.add_parser("download", help="fetch pretrained weights")
