@@ -30,6 +30,10 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--mode", choices=("infer", "train"), default="infer")
+    ap.add_argument("--fuse", choices=("config", "none", "cls", "mask",
+                                       "both"), default="config",
+                    help="override head-fusion flags (Pallas ROIAlign-fused "
+                         "classifier/mask heads) for A/B sweeps")
     args = ap.parse_args()
 
     import jax
@@ -51,6 +55,11 @@ def main() -> int:
         # Inference batch 48 measured the v5e throughput knee: 142.4 img/s
         # vs 139.9 at 32 and 139.5 at 64 (pipelined, same chip).
         batch = args.batch or (8 if args.mode == "train" else 48)
+
+    if args.fuse != "config":
+        config = config.replace(
+            fuse_classifier_head=args.fuse in ("cls", "both"),
+            fuse_mask_head=args.fuse in ("mask", "both"))
 
     dev = jax.devices()[0]
     print(f"# bench: {config.architecture} @ "
