@@ -87,6 +87,13 @@ def _bind_imageio(lib) -> None:
     lib.img_letterbox_rgb8.argtypes = [p_u8, i64, i64, i64, p_f32, p_f64]
     lib.img_decode_letterbox_jpeg.restype = ctypes.c_int
     lib.img_decode_letterbox_jpeg.argtypes = [c_char_p, i64, p_f32, p_f64]
+    lib.img_jpeg_dims_mem.restype = ctypes.c_int
+    lib.img_jpeg_dims_mem.argtypes = [p_u8, i64, p_i64]
+    lib.img_decode_jpeg_mem.restype = ctypes.c_int
+    lib.img_decode_jpeg_mem.argtypes = [p_u8, i64, p_u8, i64, p_i64]
+    lib.img_decode_letterbox_jpeg_mem.restype = ctypes.c_int
+    lib.img_decode_letterbox_jpeg_mem.argtypes = [p_u8, i64, i64, p_f32,
+                                                  p_f64]
 
 
 def get_rle_lib():

@@ -82,6 +82,36 @@ int decode_jpeg_file(const char* path, std::vector<uint8_t>& out,
   return 0;
 }
 
+// In-memory variant (serving path: request bytes, no file).
+int decode_jpeg_mem(const uint8_t* buf, int64_t len, std::vector<uint8_t>& out,
+                    int64_t& h, int64_t& w) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  jerr.pub.emit_message = silent_emit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  w = cinfo.output_width;
+  h = cinfo.output_height;
+  out.resize(static_cast<size_t>(h) * w * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out.data() + static_cast<size_t>(cinfo.output_scanline)
+                                    * w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
 // ---------------------------------------------------------------------------
 // Triangle-filter resampling (PIL BILINEAR geometry)
 // ---------------------------------------------------------------------------
@@ -258,6 +288,51 @@ int img_decode_letterbox_jpeg(const char* path, int64_t size, float* canvas,
   std::vector<uint8_t> buf;
   int64_t h = 0, w = 0;
   int rc = decode_jpeg_file(path, buf, h, w);
+  if (rc != 0) return rc;
+  letterbox_into(buf.data(), h, w, size, canvas, meta);
+  return 0;
+}
+
+// In-memory variants for the serving path (request bytes -> pixels).
+int img_jpeg_dims_mem(const uint8_t* data, int64_t len, int64_t* hw) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  jerr.pub.emit_message = silent_emit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_calc_output_dimensions(&cinfo);
+  hw[0] = cinfo.output_height;
+  hw[1] = cinfo.output_width;
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+int img_decode_jpeg_mem(const uint8_t* data, int64_t len, uint8_t* out,
+                        int64_t cap, int64_t* hw) {
+  std::vector<uint8_t> buf;
+  int64_t h = 0, w = 0;
+  int rc = decode_jpeg_mem(data, len, buf, h, w);
+  if (rc != 0) return rc;
+  hw[0] = h;
+  hw[1] = w;
+  if (static_cast<int64_t>(buf.size()) > cap) return -3;
+  std::memcpy(out, buf.data(), buf.size());
+  return 0;
+}
+
+int img_decode_letterbox_jpeg_mem(const uint8_t* data, int64_t len,
+                                  int64_t size, float* canvas, double* meta) {
+  std::vector<uint8_t> buf;
+  int64_t h = 0, w = 0;
+  int rc = decode_jpeg_mem(data, len, buf, h, w);
   if (rc != 0) return rc;
   letterbox_into(buf.data(), h, w, size, canvas, meta);
   return 0;

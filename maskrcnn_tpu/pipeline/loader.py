@@ -55,6 +55,48 @@ def decode_rgb(path: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("RGB"))
 
 
+def decode_rgb_bytes(data: bytes) -> np.ndarray:
+    """Decode in-memory image bytes to (H, W, 3) uint8 RGB — the serving
+    path's counterpart of `decode_rgb` (native for JPEG payloads)."""
+    lib = get_imageio_lib()
+    if lib is not None and data[:2] == b"\xff\xd8":  # JPEG magic
+        buf = np.frombuffer(data, np.uint8)
+        p_buf = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        hw = np.zeros(2, np.int64)
+        p_hw = hw.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        if lib.img_jpeg_dims_mem(p_buf, len(data), p_hw) == 0 \
+                and hw.min() > 0:
+            out = np.empty((int(hw[0]), int(hw[1]), 3), np.uint8)
+            rc = lib.img_decode_jpeg_mem(
+                p_buf, len(data),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                out.size, p_hw)
+            if rc == 0:
+                return out
+    import io
+
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+
+
+def load_letterboxed_bytes(data: bytes, size: int) -> tuple[np.ndarray,
+                                                            LetterboxWindow]:
+    """In-memory image bytes -> letterboxed float32 canvas + window."""
+    lib = get_imageio_lib()
+    if lib is not None and data[:2] == b"\xff\xd8":
+        buf = np.frombuffer(data, np.uint8)
+        canvas = np.empty((size, size, 3), np.float32)
+        meta = np.zeros(7, np.float64)
+        rc = lib.img_decode_letterbox_jpeg_mem(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+            size, canvas.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            meta.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        if rc == 0:
+            return canvas, _window_from_meta(meta)
+    return letterbox_rgb(decode_rgb_bytes(data), size)
+
+
 def letterbox_rgb(image: np.ndarray, size: int) -> tuple[np.ndarray,
                                                          LetterboxWindow]:
     """(H, W, 3) uint8 RGB -> (size, size, 3) float32 canvas + window,

@@ -22,7 +22,6 @@ sealed environments.
 
 from __future__ import annotations
 
-import io
 import json
 import queue
 import threading
@@ -122,7 +121,7 @@ def _detections_to_json(dets) -> dict:
 def make_server(detector, host: str = "127.0.0.1", port: int = 8389,
                 max_batch: int = 8, window_ms: float = 5.0):
     """Build (server, worker); call server.serve_forever() to run."""
-    from PIL import Image
+    from maskrcnn_tpu.pipeline.loader import decode_rgb_bytes
 
     worker = BatchingWorker(detector, max_batch=max_batch,
                             window_ms=window_ms)
@@ -157,7 +156,8 @@ def make_server(detector, host: str = "127.0.0.1", port: int = 8389,
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 raw = self.rfile.read(n)
-                img = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+                # native in-memory JPEG decode (PIL fallback inside)
+                img = decode_rgb_bytes(raw)
                 t0 = time.perf_counter()
                 dets = worker.submit(img)
                 payload = _detections_to_json(dets)

@@ -130,6 +130,29 @@ def test_decode_error_paths(tmp_path):
         load_letterboxed(str(bad), 64)
 
 
+@needs_native
+def test_bytes_decode_matches_file(jpeg_dir):
+    from maskrcnn_tpu.pipeline.loader import (decode_rgb_bytes,
+                                              load_letterboxed_bytes)
+
+    p = jpeg_dir[1]
+    data = open(p, "rb").read()
+    np.testing.assert_array_equal(decode_rgb_bytes(data), decode_rgb(p))
+    c_mem, w_mem = load_letterboxed_bytes(data, 192)
+    c_file, w_file = load_letterboxed(p, 192)
+    assert w_mem == w_file
+    np.testing.assert_array_equal(c_mem, c_file)
+
+
+def test_bytes_decode_non_jpeg_falls_back(jpeg_dir):
+    from maskrcnn_tpu.pipeline.loader import decode_rgb_bytes
+
+    png = [p for p in jpeg_dir if p.endswith(".png")][0]
+    data = open(png, "rb").read()
+    ref = np.asarray(Image.open(png).convert("RGB"))
+    np.testing.assert_array_equal(decode_rgb_bytes(data), ref)
+
+
 def test_window_clamps_degenerate_aspect():
     # 3x1024 at size 128: unclamped round() would give a 0-row window
     from maskrcnn_tpu.pipeline.preprocess import compute_window
