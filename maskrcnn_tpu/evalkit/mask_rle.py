@@ -34,8 +34,16 @@ class RLE:
 def encode(mask: np.ndarray) -> RLE:
     """(h, w) binary mask -> RLE (column-major run counts)."""
     h, w = mask.shape
-    col = np.asfortranarray(mask != 0).astype(np.uint8).reshape(-1, order="F")
     lib = get_rle_lib()
+    if lib is not None and mask.flags.c_contiguous and mask.dtype in (
+            np.dtype(np.uint8), np.dtype(bool)):
+        # strided native walk: no Fortran-order copy of the canvas
+        counts = np.empty(h * w + 1, np.uint32)
+        n = lib.rle_encode_rowmajor(
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+        return RLE(h, w, counts[:n].copy())
+    col = np.asfortranarray(mask != 0).astype(np.uint8).reshape(-1, order="F")
     if lib is not None:
         counts = np.empty(h * w + 1, np.uint32)
         n = lib.rle_encode(

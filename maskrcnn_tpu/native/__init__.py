@@ -45,10 +45,15 @@ def _load(name: str, link_flags: list[str], bind) -> object | None:
             if (not os.path.exists(so)
                     or os.path.getmtime(so) < os.path.getmtime(src)):
                 os.makedirs(_BUILD_DIR, exist_ok=True)
-                cmd = (["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
-                        "-o", so + ".tmp"] + link_flags)
-                subprocess.run(cmd, check=True, capture_output=True,
-                               text=True)
+                base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                        src, "-o", so + ".tmp"]
+                try:  # vectorize for the build host when possible
+                    subprocess.run(base[:1] + ["-march=native"] + base[1:]
+                                   + link_flags, check=True,
+                                   capture_output=True, text=True)
+                except subprocess.CalledProcessError:
+                    subprocess.run(base + link_flags, check=True,
+                                   capture_output=True, text=True)
                 os.replace(so + ".tmp", so)
             lib = ctypes.CDLL(so)
             bind(lib)
@@ -62,6 +67,8 @@ def _load(name: str, link_flags: list[str], bind) -> object | None:
 def _bind_rle(lib) -> None:
     lib.rle_encode.restype = i64
     lib.rle_encode.argtypes = [p_u8, i64, i64, p_u32]
+    lib.rle_encode_rowmajor.restype = i64
+    lib.rle_encode_rowmajor.argtypes = [p_u8, i64, i64, p_u32]
     lib.rle_decode.restype = None
     lib.rle_decode.argtypes = [p_u32, i64, i64, i64, p_u8]
     lib.rle_area.restype = u64
@@ -94,6 +101,10 @@ def _bind_imageio(lib) -> None:
     lib.img_decode_letterbox_jpeg_mem.restype = ctypes.c_int
     lib.img_decode_letterbox_jpeg_mem.argtypes = [p_u8, i64, i64, p_f32,
                                                   p_f64]
+    f64 = ctypes.c_double
+    lib.img_paste_mask.restype = ctypes.c_int
+    lib.img_paste_mask.argtypes = [p_f32, i64, f64, f64, f64, f64,
+                                   i64, i64, f64, p_u8]
 
 
 def get_rle_lib():

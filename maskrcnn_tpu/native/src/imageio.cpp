@@ -338,4 +338,75 @@ int img_decode_letterbox_jpeg_mem(const uint8_t* data, int64_t len,
   return 0;
 }
 
+// Paste a (m, m) soft mask into a full-size (H, W) uint8 canvas — the
+// native core of `pipeline.detector.paste_mask` (Matterport `unmold_mask`
+// semantics: scale the mask into its box, threshold, paste). The Python
+// reference path quantizes the soft mask to uint8 (numpy float->uint8 cast
+// truncates) and resizes with PIL BILINEAR; replicated here with the same
+// triangle-filter geometry in float (<= 1 LSB difference near the
+// threshold). `canvas` (H*W, zeroed here) is written row-major.
+int img_paste_mask(const float* mask, int64_t m, double oy1, double ox1,
+                   double oy2, double ox2, int64_t H, int64_t W,
+                   double threshold, uint8_t* canvas) {
+  if (m <= 0 || H <= 0 || W <= 0) return -1;
+  const int64_t y0 = static_cast<int64_t>(std::nearbyint(oy1));
+  const int64_t x0 = static_cast<int64_t>(std::nearbyint(ox1));
+  const int64_t bh = std::max<int64_t>(
+      static_cast<int64_t>(std::nearbyint(oy2)) - y0, 1);
+  const int64_t bw = std::max<int64_t>(
+      static_cast<int64_t>(std::nearbyint(ox2)) - x0, 1);
+
+  std::memset(canvas, 0, static_cast<size_t>(H) * W);
+  const int64_t yy1 = std::max<int64_t>(y0, 0);
+  const int64_t xx1 = std::max<int64_t>(x0, 0);
+  const int64_t yy2 = std::min<int64_t>(y0 + bh, H);
+  const int64_t xx2 = std::min<int64_t>(x0 + bw, W);
+  if (yy1 >= yy2 || xx1 >= xx2) return 0;  // fully outside
+
+  // Quantize like the Python path: (mask * 255) truncated to uint8.
+  std::vector<float> q(static_cast<size_t>(m) * m);
+  for (int64_t i = 0; i < m * m; ++i) {
+    float v = mask[i] * 255.0f;
+    v = std::min(std::max(v, 0.0f), 255.0f);
+    q[i] = static_cast<float>(static_cast<uint8_t>(v));
+  }
+
+  ResampleAxis hx = compute_axis(m, bw);
+  ResampleAxis vx = compute_axis(m, bh);
+  const float thresh = static_cast<float>(threshold) * 255.0f;
+
+  // Horizontal pass over the columns we need (xx1-x0 .. xx2-x0).
+  std::vector<float> tmp(static_cast<size_t>(m) * (xx2 - xx1));
+  for (int64_t y = 0; y < m; ++y) {
+    const float* row = q.data() + y * m;
+    float* orow = tmp.data() + y * (xx2 - xx1);
+    for (int64_t x = xx1; x < xx2; ++x) {
+      const int64_t bx = x - x0;  // column inside the box
+      const float* wts = &hx.weights[bx * hx.stride];
+      const float* p = row + hx.first[bx];
+      float acc = 0;
+      for (int k = 0; k < hx.count[bx]; ++k) acc += wts[k] * p[k];
+      orow[x - xx1] = acc;
+    }
+  }
+  // Vertical pass + threshold + paste, one output row at a time.
+  // k-outer accumulation keeps every inner loop contiguous (vectorizable).
+  const int64_t rowlen = xx2 - xx1;
+  std::vector<float> acc(rowlen);
+  for (int64_t y = yy1; y < yy2; ++y) {
+    const int64_t by = y - y0;
+    const float* wts = &vx.weights[by * vx.stride];
+    std::fill(acc.begin(), acc.end(), 0.0f);
+    for (int k = 0; k < vx.count[by]; ++k) {
+      const float c = wts[k];
+      const float* row = &tmp[(vx.first[by] + k) * rowlen];
+      for (int64_t x = 0; x < rowlen; ++x) acc[x] += c * row[x];
+    }
+    uint8_t* orow = canvas + y * W + xx1;
+    for (int64_t x = 0; x < rowlen; ++x)
+      orow[x] = acc[x] >= thresh ? 1 : 0;
+  }
+  return 0;
+}
+
 }  // extern "C"

