@@ -181,7 +181,15 @@ def cmd_evaluate(args) -> int:
                 continue
             yield im.id, path
 
-    loader = PrefetchLoader(iter_paths(), detector.config.image_height,
+    eval_paths: dict[int, str] = {}
+
+    def iter_paths_remembering():
+        for img_id, path in iter_paths():
+            eval_paths[img_id] = path
+            yield img_id, path
+
+    loader = PrefetchLoader(iter_paths_remembering(),
+                            detector.config.image_height,
                             depth=max(2 * args.batch, 4))
     for img_id, canvas, win in loader:
         with timer.phase("load+decode"):
@@ -216,6 +224,40 @@ def cmd_evaluate(args) -> int:
                 continue
             print(f"== {iou_type} (compare) ==")
             COCOEvaluator(dataset, other, iou_type,
+                          img_ids=eval_ids).summarize()
+
+    if args.compare_tf:
+        # The reference's `-c` mode: run the SAME weights through an
+        # independent TF implementation and print both AP tables
+        # (EvaluateCommand.swift:124-127, COCOEval/task.py:99-105) — here
+        # in-process via evalkit/tf_forward.py, no Docker.
+        import jax
+
+        from maskrcnn_tpu.core.anchors import generate_anchors
+        from maskrcnn_tpu.evalkit.tf_forward import tf_forward
+        from maskrcnn_tpu.pipeline.detector import Detection
+        from maskrcnn_tpu.pipeline.loader import load_letterboxed
+
+        print("== TensorFlow oracle (same weights, independent "
+              "implementation) ==", file=sys.stderr)
+        params_np = jax.device_get(detector.params)
+        anchors_np = np.asarray(generate_anchors(config))
+        tf_rows = []
+        for img_id in eval_ids:
+            canvas, win = load_letterboxed(eval_paths[img_id],
+                                           config.image_height)
+            res = tf_forward(params_np, canvas[None], anchors_np, config)[0]
+            d = len(res["scores"])
+            det_rows = np.concatenate(
+                [res["boxes"],
+                 res["class_ids"][:, None].astype(np.float32),
+                 res["scores"][:, None]], axis=1) if d else np.zeros((0, 6))
+            dets = detector.unmold(det_rows, res["masks"],
+                                   np.ones((d,), bool), win)
+            tf_rows.extend(detections_to_coco_results(img_id, dets, dataset))
+        for iou_type in ("bbox", "segm"):
+            print(f"== {iou_type} (TF oracle) ==")
+            COCOEvaluator(dataset, tf_rows, iou_type,
                           img_ids=eval_ids).summarize()
     return 0
 
@@ -509,6 +551,10 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--results_dir", default=".maskrcnn/tmp")
     e.add_argument("-c", "--compare", metavar="RESULTS_JSON",
                    help="also score an oracle results file side-by-side")
+    e.add_argument("--compare-tf", action="store_true",
+                   help="run the same weights through the in-process "
+                        "TensorFlow oracle and score both (the reference's "
+                        "-c mode, without Docker)")
     e.set_defaults(fn=cmd_evaluate)
 
     t = sub.add_parser("train", help="train (real, not a stub)")

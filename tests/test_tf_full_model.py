@@ -1,0 +1,83 @@
+"""Cross-framework FULL-MODEL oracle: JAX forward vs the TF implementation.
+
+The reference's end-to-end correctness check is running the same weights
+through the independent TF implementation and comparing results
+(`EvaluateCommand.swift:124-127`, `COCOEval/task.py:99-105`). This test does
+exactly that on the tiny config: one parameter set, two frameworks, the
+entire pipeline (backbone -> FPN -> RPN -> proposals -> ROIAlign ->
+classifier -> detection NMS -> mask head), compared detection-by-detection.
+"""
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from maskrcnn_tpu.core.anchors import generate_anchors  # noqa: E402
+from maskrcnn_tpu.core.config import tiny_test_config  # noqa: E402
+from maskrcnn_tpu.evalkit.tf_forward import tf_forward  # noqa: E402
+from maskrcnn_tpu.models.mask_rcnn import (forward,  # noqa: E402
+                                           init_mask_rcnn)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    # f32 compute + exact top-k: numerics-oracle configuration (the bf16 /
+    # approx-topk production knobs are exercised by their own tests).
+    cfg = tiny_test_config().replace(compute_dtype="float32",
+                                     proposal_topk_recall=None)
+    params = init_mask_rcnn(jax.random.PRNGKey(3), cfg)
+    anchors = np.asarray(generate_anchors(cfg))
+    rng = np.random.default_rng(42)
+    # smooth images -> stable detections (pure noise makes NMS tie-happy)
+    base = rng.uniform(0, 255, (2, 16, 16, 3))
+    images = np.kron(base, np.ones((1, 8, 8, 1)))[:, :128, :128, :]
+    images = images.astype(np.float32)
+    params_np = {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+                 for k, v in params.items()}
+    return cfg, params, params_np, anchors, images
+
+
+def test_full_model_matches_tf(setup):
+    cfg, params, params_np, anchors, images = setup
+
+    out = forward(params, jnp.asarray(images), jnp.asarray(anchors), cfg)
+    det = np.asarray(out["detections"])
+    valid = np.asarray(out["valid"])
+    masks = np.asarray(out["masks"])
+
+    oracle = tf_forward(params_np, images, anchors, cfg)
+
+    for i in range(images.shape[0]):
+        o = oracle[i]
+        n_jax = int(valid[i].sum())
+        n_tf = len(o["scores"])
+        assert n_jax == n_tf, (
+            f"image {i}: {n_jax} JAX detections vs {n_tf} TF")
+        if n_jax == 0:
+            continue
+        # Both paths emit score-descending detections.
+        np.testing.assert_array_equal(
+            det[i, :n_jax, 4].astype(np.int32), o["class_ids"])
+        np.testing.assert_allclose(det[i, :n_jax, 5], o["scores"],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(det[i, :n_jax, :4], o["boxes"],
+                                   rtol=1e-4, atol=1e-4)
+        # f32 reduction order differs between frameworks; the ~1e-6/layer
+        # drift compounds through 50+ layers and the sigmoid can amplify it
+        # near 0 logits. Compare distributions + thresholded masks instead
+        # of elementwise equality.
+        diff = np.abs(masks[i, :n_jax] - o["masks"])
+        assert diff.mean() < 0.02, diff.mean()
+        binar = (masks[i, :n_jax] >= 0.5) != (o["masks"] >= 0.5)
+        assert binar.mean() < 0.02, binar.mean()
+
+
+def test_oracle_finds_detections(setup):
+    """Guard: the comparison above must not pass vacuously."""
+    cfg, params, params_np, anchors, images = setup
+    oracle = tf_forward(params_np, images, anchors, cfg)
+    assert sum(len(o["scores"]) for o in oracle) > 0
