@@ -188,12 +188,19 @@ def cmd_evaluate(args) -> int:
             eval_paths[img_id] = path
             yield img_id, path
 
-    loader = PrefetchLoader(iter_paths_remembering(),
-                            detector.config.image_height,
-                            depth=max(2 * args.batch, 4))
-    for img_id, canvas, win in loader:
+    loader = iter(PrefetchLoader(iter_paths_remembering(),
+                                 detector.config.image_height,
+                                 depth=max(2 * args.batch, 4)))
+    while True:
+        # The phase measures time BLOCKED on decode (the prefetch pool works
+        # ahead, so this is ~0 when the device is the bottleneck and the
+        # true decode cost when the host is).
         with timer.phase("load+decode"):
-            pending.append((canvas, win))  # decode already done off-thread
+            item = next(loader, None)
+        if item is None:
+            break
+        img_id, canvas, win = item
+        pending.append((canvas, win))
         pending_ids.append(img_id)
         if len(pending) >= args.batch:
             flush()
@@ -326,15 +333,19 @@ def cmd_train(args) -> int:
     manager = (CheckpointManager(args.checkpoint_dir, keep=args.keep)
                if args.checkpoint_dir else None)
     if args.resume:
-        if manager is not None:
-            restored = manager.restore_latest(state)
-            if restored is not None:
-                state = restored
-                print(f"resumed from {args.checkpoint_dir} at step "
-                      f"{int(state.step)}")
+        restored = (manager.restore_latest(state)
+                    if manager is not None else None)
+        if restored is not None:
+            state = restored
+            print(f"resumed from {args.checkpoint_dir} at step "
+                  f"{int(state.step)}")
         elif args.state and os.path.exists(args.state):
+            # empty --checkpoint-dir falls back to --state, not step 0
             state = restore_train_state(state, args.state)
             print(f"resumed from {args.state} at step {int(state.step)}")
+        else:
+            print("# --resume: no checkpoint found, starting fresh",
+                  file=sys.stderr)
 
     mlog = MetricsLogger(args.metrics_log)
     key = jax.random.PRNGKey(args.seed + 1)

@@ -32,6 +32,24 @@ p_f32 = ctypes.POINTER(ctypes.c_float)
 p_f64 = ctypes.POINTER(ctypes.c_double)
 
 
+def _cpu_tag() -> str:
+    """Cache key component tied to the host's ISA: builds use -march=native,
+    so an .so cached on one machine (e.g. a shared volume) must not be
+    dlopen'd on a CPU lacking those extensions (SIGILL)."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    return hashlib.sha1(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.machine().encode()).hexdigest()[:8]
+
+
 def _load(name: str, link_flags: list[str], bind) -> object | None:
     """Build (if stale) + dlopen + bind signatures; None on any failure."""
     with _lock:
@@ -40,7 +58,7 @@ def _load(name: str, link_flags: list[str], bind) -> object | None:
         if name in _errors:
             return None
         src = os.path.join(_HERE, "src", f"{name}.cpp")
-        so = os.path.join(_BUILD_DIR, f"lib{name}.so")
+        so = os.path.join(_BUILD_DIR, f"lib{name}-{_cpu_tag()}.so")
         try:
             if (not os.path.exists(so)
                     or os.path.getmtime(so) < os.path.getmtime(src)):

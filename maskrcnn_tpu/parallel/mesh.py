@@ -46,6 +46,29 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+_DP_FORWARD_CACHE: dict = {}
+
+
+def make_data_parallel_forward(mesh: Mesh, config):
+    """Build (and cache) the jitted DP forward for (mesh, config).
+
+    The cache matters: a fresh `jax.jit(partial(...))` per call would make
+    XLA retrace/recompile the whole detector every batch."""
+    key = (mesh, config)
+    fn = _DP_FORWARD_CACHE.get(key)
+    if fn is None:
+        from maskrcnn_tpu.models.mask_rcnn import forward
+
+        repl = NamedSharding(mesh, P())
+        batched = NamedSharding(mesh, P("data"))
+        fn = jax.jit(
+            functools.partial(forward, config=config),
+            in_shardings=(repl, batched, repl),
+            out_shardings=batched)
+        _DP_FORWARD_CACHE[key] = fn
+    return fn
+
+
 def data_parallel_forward(mesh: Mesh, config, params, images, anchors):
     """DP batch inference: params/anchors replicated, images batch-sharded.
 
@@ -55,16 +78,7 @@ def data_parallel_forward(mesh: Mesh, config, params, images, anchors):
     devices_get's the result — the analog of the reference's final
     MLMultiArray copy-out).
     """
-    from maskrcnn_tpu.models.mask_rcnn import forward
-
-    repl = NamedSharding(mesh, P())
-    batched = NamedSharding(mesh, P("data"))
-
-    fn = jax.jit(
-        functools.partial(forward, config=config),
-        in_shardings=(repl, batched, repl),
-        out_shardings=batched)
-    return fn(params, images, anchors)
+    return make_data_parallel_forward(mesh, config)(params, images, anchors)
 
 
 def data_parallel_train_step(mesh: Mesh, config, tx_and_mask):

@@ -97,10 +97,25 @@ def load_letterboxed_bytes(data: bytes, size: int) -> tuple[np.ndarray,
     return letterbox_rgb(decode_rgb_bytes(data), size)
 
 
+def _ensure_rgb3(image: np.ndarray) -> np.ndarray:
+    """Grayscale (H, W) / (H, W, 1) -> replicated RGB; RGBA -> RGB.
+    The native resampler reads exactly H*W*3 bytes."""
+    if image.ndim == 2:
+        return np.repeat(image[:, :, None], 3, axis=2)
+    if image.shape[-1] == 1:
+        return np.repeat(image, 3, axis=2)
+    if image.shape[-1] == 4:
+        return image[..., :3]
+    if image.ndim != 3 or image.shape[-1] != 3:
+        raise ValueError(f"expected (H, W[, C]) image, got {image.shape}")
+    return image
+
+
 def letterbox_rgb(image: np.ndarray, size: int) -> tuple[np.ndarray,
                                                          LetterboxWindow]:
-    """(H, W, 3) uint8 RGB -> (size, size, 3) float32 canvas + window,
+    """(H, W[, C]) uint8 image -> (size, size, 3) float32 canvas + window,
     native resample when available (PIL fallback otherwise)."""
+    image = _ensure_rgb3(np.asarray(image))
     lib = get_imageio_lib()
     if lib is None:
         return letterbox_numpy(image, size)

@@ -55,6 +55,7 @@ class CheckpointManager:
         self.keep = max(keep, 1)
         self.background = background
         self._thread: threading.Thread | None = None
+        self._error: BaseException | None = None
         os.makedirs(directory, exist_ok=True)
 
     def _path(self, step: int) -> str:
@@ -73,25 +74,34 @@ class CheckpointManager:
         path = self._path(step)
 
         def write():
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(data)
-            os.replace(tmp, path)
-            self._prune()
+            try:
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(data)
+                os.replace(tmp, path)
+                self._prune()
+            except BaseException as e:  # surfaced by the next wait()/save()
+                self._error = e
 
-        self.wait()  # at most one write in flight
+        self.wait()  # at most one write in flight; raises a prior failure
         if self.background:
             self._thread = threading.Thread(target=write, daemon=True)
             self._thread.start()
         else:
             write()
+            self.wait()  # re-raise synchronous failures too
         return path
 
     def wait(self) -> None:
-        """Block until any in-flight write has landed."""
+        """Block until any in-flight write has landed; re-raise its error
+        (disk full, permissions) instead of reporting phantom success."""
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError(
+                f"checkpoint write to {self.directory} failed") from err
 
     def _steps(self) -> list[int]:
         out = []
