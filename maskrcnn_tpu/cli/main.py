@@ -320,11 +320,13 @@ def cmd_train(args) -> int:
         }
         loader = lambda step: batch  # noqa: E731 — fixed-batch overfit demo
     else:
-        from maskrcnn_tpu.train.data import COCOTrainLoader
+        from maskrcnn_tpu.train.data import COCOTrainLoader, PrefetchBatcher
         loader_obj = COCOTrainLoader(
             args.annotations, args.images_dir, config,
-            batch_size=args.batch, seed=args.seed)
-        loader = loader_obj.get_batch
+            batch_size=args.batch, seed=args.seed,
+            flip_prob=args.flip_prob)
+        # one-ahead prefetch: batch t+1 decodes while the device runs step t
+        loader = PrefetchBatcher(loader_obj).get_batch
 
     from maskrcnn_tpu.train.checkpoint import (CheckpointManager,
                                                MetricsLogger,
@@ -597,6 +599,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoints to retain in --checkpoint-dir")
     t.add_argument("--metrics-log",
                    help="append JSONL training metrics to this file")
+    t.add_argument("--flip-prob", type=float, default=0.5,
+                   help="horizontal-flip augmentation probability "
+                        "(Matterport's Fliplr(0.5); 0 disables)")
     t.set_defaults(fn=cmd_train)
 
     d = sub.add_parser("download", help="fetch pretrained weights")

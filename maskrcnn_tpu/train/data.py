@@ -17,7 +17,6 @@ import numpy as np
 from maskrcnn_tpu.core.config import MaskRCNNConfig
 from maskrcnn_tpu.evalkit import mask_rle as M
 from maskrcnn_tpu.evalkit.coco import COCODataset
-from maskrcnn_tpu.pipeline.preprocess import letterbox_numpy
 
 
 def minimask_from_annotation(ann, image_h: int, image_w: int,
@@ -40,16 +39,24 @@ def minimask_from_annotation(ann, image_h: int, image_w: int,
 
 
 class COCOTrainLoader:
-    """Random-order batch provider over a COCO-format dataset directory."""
+    """Random-order batch provider over a COCO-format dataset directory.
+
+    `flip_prob`: probability of horizontal-flip augmentation per example
+    (Matterport's standard fine-tuning augmentation, Fliplr(0.5)) — the
+    canvas, normalized boxes, and mini-masks flip together; mini-masks are
+    box-relative, so flipping the mask array alone stays consistent.
+    """
 
     def __init__(self, annotations_path: str, images_dir: str,
                  config: MaskRCNNConfig, batch_size: int = 2,
-                 max_instances: int = 32, seed: int = 0):
+                 max_instances: int = 32, seed: int = 0,
+                 flip_prob: float = 0.5):
         self.dataset = COCODataset.from_file(annotations_path)
         self.images_dir = images_dir
         self.config = config
         self.batch_size = batch_size
         self.max_instances = max_instances
+        self.flip_prob = flip_prob
         self.rng = np.random.default_rng(seed)
         self.image_ids = [
             im.id for im in self.dataset.iter_images()
@@ -57,14 +64,13 @@ class COCOTrainLoader:
         if not self.image_ids:
             raise ValueError("dataset has no annotated images")
 
-    def load_example(self, image_id: int):
-        from PIL import Image
+    def load_example(self, image_id: int, flip: bool = False):
+        from maskrcnn_tpu.pipeline.loader import load_letterboxed
 
         im = self.dataset.images[image_id]
         path = os.path.join(self.images_dir, im.file_name)
-        img = np.asarray(Image.open(path).convert("RGB"))
         size = self.config.image_height
-        canvas, win = letterbox_numpy(img, size)
+        canvas, win = load_letterboxed(path, size)  # native decode+resample
 
         g = self.max_instances
         boxes = np.zeros((g, 4), np.float32)
@@ -93,14 +99,23 @@ class COCOTrainLoader:
             if "segmentation" in ann:
                 masks[i] = minimask_from_annotation(
                     ann, im.height, im.width, self.config.mask_size)
+        if flip:
+            canvas = canvas[:, ::-1].copy()
+            has_box = (boxes[:, 3] > boxes[:, 1])
+            fx1 = 1.0 - boxes[:, 3]
+            fx2 = 1.0 - boxes[:, 1]
+            boxes[has_box, 1] = fx1[has_box]
+            boxes[has_box, 3] = fx2[has_box]
+            masks = masks[:, :, ::-1].copy()
         return canvas, boxes, classes, masks
 
     def get_batch(self, step: int | None = None) -> dict[str, np.ndarray]:
         ids = self.rng.choice(self.image_ids, self.batch_size,
                               replace=len(self.image_ids) < self.batch_size)
+        flips = self.rng.random(self.batch_size) < self.flip_prob
         images, boxes, classes, masks = [], [], [], []
-        for i in ids:
-            c, b, cl, m = self.load_example(int(i))
+        for i, flip in zip(ids, flips):
+            c, b, cl, m = self.load_example(int(i), flip=bool(flip))
             images.append(c)
             boxes.append(b)
             classes.append(cl)
@@ -111,3 +126,23 @@ class COCOTrainLoader:
             "gt_class_ids": np.stack(classes),
             "gt_masks": np.stack(masks),
         }
+
+
+class PrefetchBatcher:
+    """One-ahead batch prefetch: load batch t+1 on a worker thread while the
+    device runs step t (the training-side analog of `pipeline.loader`'s
+    eval prefetch — decode/resample release the GIL in native code)."""
+
+    def __init__(self, loader: COCOTrainLoader):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._loader = loader
+        self._pool = ThreadPoolExecutor(max_workers=1)
+        self._next = None
+
+    def get_batch(self, step: int | None = None) -> dict[str, np.ndarray]:
+        fut, self._next = self._next, None
+        batch = fut.result() if fut is not None \
+            else self._loader.get_batch(step)
+        self._next = self._pool.submit(self._loader.get_batch, step)
+        return batch

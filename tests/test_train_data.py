@@ -1,0 +1,85 @@
+"""COCO training data loader: GT geometry, flip augmentation, prefetch."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from maskrcnn_tpu.core.config import tiny_test_config
+from maskrcnn_tpu.train.data import COCOTrainLoader, PrefetchBatcher
+
+
+@pytest.fixture(scope="module")
+def coco_dir(tmp_path_factory):
+    td = tmp_path_factory.mktemp("traincoco")
+    imgs = td / "imgs"
+    os.makedirs(imgs)
+    rng = np.random.default_rng(0)
+    images, anns = [], []
+    for i in range(3):
+        h, w = 96, 128
+        arr = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
+        fn = f"{i:06d}.jpg"
+        Image.fromarray(arr).save(imgs / fn, quality=95)
+        images.append({"id": i, "file_name": fn, "width": w, "height": h})
+        # a solid square instance at (x=20..50, y=10..40)
+        anns.append({"id": 100 + i, "image_id": i, "category_id": 7,
+                     "bbox": [20, 10, 30, 30], "area": 900, "iscrowd": 0,
+                     "segmentation": [[20, 10, 50, 10, 50, 40, 20, 40]]})
+    inst = {"images": images, "annotations": anns,
+            "categories": [{"id": 7, "name": "thing"},
+                           {"id": 9, "name": "other"},
+                           {"id": 11, "name": "misc"},
+                           {"id": 13, "name": "x"}]}
+    ann_path = td / "instances.json"
+    json.dump(inst, open(ann_path, "w"))
+    return str(ann_path), str(imgs)
+
+
+def test_batch_shapes_and_geometry(coco_dir):
+    cfg = tiny_test_config()
+    loader = COCOTrainLoader(*coco_dir, cfg, batch_size=2, max_instances=8,
+                             flip_prob=0.0)
+    batch = loader.get_batch(0)
+    s = cfg.image_height
+    assert batch["images"].shape == (2, s, s, 3)
+    assert batch["gt_boxes"].shape == (2, 8, 4)
+    assert batch["gt_class_ids"].shape == (2, 8)
+    assert batch["gt_masks"].shape == (2, 8, cfg.mask_size, cfg.mask_size)
+    # first instance is real, rest are padding
+    assert batch["gt_class_ids"][0, 0] > 0
+    assert (batch["gt_class_ids"][:, 1:] == 0).all()
+    b = batch["gt_boxes"][0, 0]
+    assert 0.0 <= b[0] < b[2] <= 1.0 and 0.0 <= b[1] < b[3] <= 1.0
+    # the square's mini-mask is (nearly) solid
+    assert batch["gt_masks"][0, 0].mean() > 0.9
+
+
+def test_flip_consistency(coco_dir):
+    cfg = tiny_test_config()
+    loader = COCOTrainLoader(*coco_dir, cfg, batch_size=1, max_instances=4)
+    img_id = loader.image_ids[0]
+    c0, b0, cl0, m0 = loader.load_example(img_id, flip=False)
+    c1, b1, cl1, m1 = loader.load_example(img_id, flip=True)
+    np.testing.assert_array_equal(c1, c0[:, ::-1])
+    np.testing.assert_array_equal(cl1, cl0)
+    np.testing.assert_array_equal(m1[0], m0[0][:, ::-1])
+    # x coords mirror, y coords unchanged; padding rows stay zero
+    np.testing.assert_allclose(b1[0, [0, 2]], b0[0, [0, 2]])
+    np.testing.assert_allclose(b1[0, 1], 1.0 - b0[0, 3], atol=1e-6)
+    np.testing.assert_allclose(b1[0, 3], 1.0 - b0[0, 1], atol=1e-6)
+    np.testing.assert_array_equal(b1[1:], 0.0)
+
+
+def test_prefetch_batcher_matches_direct(coco_dir):
+    cfg = tiny_test_config()
+    mk = lambda: COCOTrainLoader(*coco_dir, cfg, batch_size=2, seed=5)
+    direct = mk()
+    fetched = PrefetchBatcher(mk())
+    for step in range(3):
+        a = direct.get_batch(step)
+        b = fetched.get_batch(step)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
