@@ -39,6 +39,8 @@ def main() -> int:
     import jax
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    from maskrcnn_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
 
     import jax.numpy as jnp
     import numpy as np

@@ -644,6 +644,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from maskrcnn_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()  # repeated invocations skip recompiles
     return args.fn(args)
 
 
