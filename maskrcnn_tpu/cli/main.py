@@ -326,7 +326,8 @@ def cmd_train(args) -> int:
             batch_size=args.batch, seed=args.seed,
             flip_prob=args.flip_prob)
         # one-ahead prefetch: batch t+1 decodes while the device runs step t
-        loader = PrefetchBatcher(loader_obj).get_batch
+        batcher = PrefetchBatcher(loader_obj)
+        loader = batcher.get_batch
 
     from maskrcnn_tpu.train.checkpoint import (CheckpointManager,
                                                MetricsLogger,
@@ -385,6 +386,8 @@ def cmd_train(args) -> int:
     if args.output:
         save_npz_checkpoint(params_out, args.output)
         print(f"checkpoint saved: {args.output}")
+    if not args.synthetic:
+        batcher.close()  # cancel the dangling one-ahead prefetch
     return 0
 
 
@@ -644,8 +647,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    from maskrcnn_tpu.utils.compile_cache import enable_compilation_cache
-    enable_compilation_cache()  # repeated invocations skip recompiles
+    if args.fn is not cmd_download:  # the one subcommand that never jits
+        from maskrcnn_tpu.utils.compile_cache import enable_compilation_cache
+        enable_compilation_cache()  # repeated invocations skip recompiles
     return args.fn(args)
 
 

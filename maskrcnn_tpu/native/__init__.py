@@ -32,22 +32,24 @@ p_f32 = ctypes.POINTER(ctypes.c_float)
 p_f64 = ctypes.POINTER(ctypes.c_double)
 
 
-def _cpu_tag() -> str:
-    """Cache key component tied to the host's ISA: builds use -march=native,
-    so an .so cached on one machine (e.g. a shared volume) must not be
-    dlopen'd on a CPU lacking those extensions (SIGILL)."""
+def _cpu_tag() -> tuple[str, bool]:
+    """(cache-key component, precise) tied to the host's ISA: builds use
+    -march=native, so an .so cached on one machine (e.g. a shared volume)
+    must not be dlopen'd on a CPU lacking those extensions (SIGILL).
+    `precise=False` means we could not read real feature flags — the caller
+    then builds generic code instead of trusting an arch-only tag."""
     import hashlib
 
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
                 if line.startswith(("flags", "Features")):
-                    return hashlib.sha1(line.encode()).hexdigest()[:8]
+                    return hashlib.sha1(line.encode()).hexdigest()[:8], True
     except OSError:
         pass
     import platform
 
-    return hashlib.sha1(platform.machine().encode()).hexdigest()[:8]
+    return hashlib.sha1(platform.machine().encode()).hexdigest()[:8], False
 
 
 def _load(name: str, link_flags: list[str], bind) -> object | None:
@@ -58,14 +60,20 @@ def _load(name: str, link_flags: list[str], bind) -> object | None:
         if name in _errors:
             return None
         src = os.path.join(_HERE, "src", f"{name}.cpp")
-        so = os.path.join(_BUILD_DIR, f"lib{name}-{_cpu_tag()}.so")
+        tag, precise = _cpu_tag()
+        so = os.path.join(_BUILD_DIR, f"lib{name}-{tag}.so")
         try:
             if (not os.path.exists(so)
                     or os.path.getmtime(so) < os.path.getmtime(src)):
                 os.makedirs(_BUILD_DIR, exist_ok=True)
                 base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
                         src, "-o", so + ".tmp"]
-                try:  # vectorize for the build host when possible
+                try:
+                    # vectorize for the build host ONLY when the cache key
+                    # reflects real feature flags; an arch-only tag can't
+                    # distinguish ISA levels, so build generic there
+                    if not precise:
+                        raise subprocess.CalledProcessError(1, "generic")
                     subprocess.run(base[:1] + ["-march=native"] + base[1:]
                                    + link_flags, check=True,
                                    capture_output=True, text=True)

@@ -46,27 +46,20 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
-_DP_FORWARD_CACHE: dict = {}
-
-
+@functools.lru_cache(maxsize=8)  # bounded: compiled executables are big
 def make_data_parallel_forward(mesh: Mesh, config):
     """Build (and cache) the jitted DP forward for (mesh, config).
 
     The cache matters: a fresh `jax.jit(partial(...))` per call would make
     XLA retrace/recompile the whole detector every batch."""
-    key = (mesh, config)
-    fn = _DP_FORWARD_CACHE.get(key)
-    if fn is None:
-        from maskrcnn_tpu.models.mask_rcnn import forward
+    from maskrcnn_tpu.models.mask_rcnn import forward
 
-        repl = NamedSharding(mesh, P())
-        batched = NamedSharding(mesh, P("data"))
-        fn = jax.jit(
-            functools.partial(forward, config=config),
-            in_shardings=(repl, batched, repl),
-            out_shardings=batched)
-        _DP_FORWARD_CACHE[key] = fn
-    return fn
+    repl = NamedSharding(mesh, P())
+    batched = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        functools.partial(forward, config=config),
+        in_shardings=(repl, batched, repl),
+        out_shardings=batched)
 
 
 def data_parallel_forward(mesh: Mesh, config, params, images, anchors):

@@ -102,12 +102,14 @@ def _ensure_rgb3(image: np.ndarray) -> np.ndarray:
     The native resampler reads exactly H*W*3 bytes."""
     if image.ndim == 2:
         return np.repeat(image[:, :, None], 3, axis=2)
+    if image.ndim != 3:
+        raise ValueError(f"expected (H, W[, C]) image, got {image.shape}")
     if image.shape[-1] == 1:
         return np.repeat(image, 3, axis=2)
     if image.shape[-1] == 4:
         return image[..., :3]
-    if image.ndim != 3 or image.shape[-1] != 3:
-        raise ValueError(f"expected (H, W[, C]) image, got {image.shape}")
+    if image.shape[-1] != 3:
+        raise ValueError(f"expected 1/3/4 channels, got {image.shape}")
     return image
 
 

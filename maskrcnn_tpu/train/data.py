@@ -101,11 +101,13 @@ class COCOTrainLoader:
                     ann, im.height, im.width, self.config.mask_size)
         if flip:
             canvas = canvas[:, ::-1].copy()
-            has_box = (boxes[:, 3] > boxes[:, 1])
+            # flip every REAL instance (crowds are negative), including
+            # boxes degenerate to <= 1 canvas px — padding rows stay zero
+            real = classes != 0
             fx1 = 1.0 - boxes[:, 3]
             fx2 = 1.0 - boxes[:, 1]
-            boxes[has_box, 1] = fx1[has_box]
-            boxes[has_box, 3] = fx2[has_box]
+            boxes[real, 1] = fx1[real]
+            boxes[real, 3] = fx2[real]
             masks = masks[:, :, ::-1].copy()
         return canvas, boxes, classes, masks
 
@@ -138,11 +140,23 @@ class PrefetchBatcher:
 
         self._loader = loader
         self._pool = ThreadPoolExecutor(max_workers=1)
-        self._next = None
+        self._next = None  # (step, future) for the NEXT expected step
 
     def get_batch(self, step: int | None = None) -> dict[str, np.ndarray]:
-        fut, self._next = self._next, None
-        batch = fut.result() if fut is not None \
-            else self._loader.get_batch(step)
-        self._next = self._pool.submit(self._loader.get_batch, step)
+        pre, self._next = self._next, None
+        if pre is not None and pre[0] == step:
+            batch = pre[1].result()
+        else:  # first call, or caller skipped/repeated a step
+            if pre is not None:
+                pre[1].cancel()
+            batch = self._loader.get_batch(step)
+        nxt = None if step is None else step + 1
+        self._next = (nxt, self._pool.submit(self._loader.get_batch, nxt))
         return batch
+
+    def close(self) -> None:
+        """Cancel the in-flight prefetch and release the worker thread."""
+        if self._next is not None:
+            self._next[1].cancel()
+            self._next = None
+        self._pool.shutdown(wait=False, cancel_futures=True)

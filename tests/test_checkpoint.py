@@ -94,6 +94,21 @@ def test_checkpoint_manager_empty_and_sync(tmp_path):
     assert os.path.exists(path)  # synchronous write landed immediately
 
 
+def test_checkpoint_write_failure_raises(tmp_path):
+    import shutil
+
+    import pytest
+
+    cfg = tiny_test_config()
+    state, _ = make_train_state(init_mask_rcnn(jax.random.PRNGKey(0), cfg),
+                                cfg)
+    mgr = CheckpointManager(str(tmp_path / "gone"))
+    shutil.rmtree(tmp_path / "gone")  # make the write fail
+    mgr.save(state)
+    with pytest.raises(RuntimeError, match="checkpoint write"):
+        mgr.wait()
+
+
 def test_metrics_logger(tmp_path):
     import json
     path = str(tmp_path / "m" / "metrics.jsonl")

@@ -216,25 +216,6 @@ def test_letterbox_channel_normalization():
         letterbox_rgb(np.zeros((4, 4, 2), np.uint8), 64)
 
 
-def test_checkpoint_write_failure_raises(tmp_path):
-    import jax
-
-    from maskrcnn_tpu.core.config import tiny_test_config
-    from maskrcnn_tpu.models.mask_rcnn import init_mask_rcnn
-    from maskrcnn_tpu.train.checkpoint import CheckpointManager
-    from maskrcnn_tpu.train.step import make_train_state
-
-    cfg = tiny_test_config()
-    state, _ = make_train_state(init_mask_rcnn(jax.random.PRNGKey(0), cfg),
-                                cfg)
-    mgr = CheckpointManager(str(tmp_path / "gone"))
-    import shutil
-    shutil.rmtree(tmp_path / "gone")  # make the write fail
-    mgr.save(state)
-    with pytest.raises(RuntimeError, match="checkpoint write"):
-        mgr.wait()
-
-
 def test_window_clamps_degenerate_aspect():
     # 3x1024 at size 128: unclamped round() would give a 0-row window
     from maskrcnn_tpu.pipeline.preprocess import compute_window

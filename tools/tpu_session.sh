@@ -3,8 +3,8 @@
 # Serialize all real-TPU work: one process at a time (docs/PERF.md).
 # Usage: tools/tpu_session.sh [outdir]
 set -u
-OUT=${1:-/tmp/tpu_results}
-mkdir -p "$OUT"
+mkdir -p "${1:-/tmp/tpu_results}"
+OUT=$(cd "${1:-/tmp/tpu_results}" && pwd)  # absolute: we cd below
 cd "$(dirname "$0")/.."
 
 run() {  # run <name> <timeout_s> <cmd...>
