@@ -480,9 +480,15 @@ def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
         # compute hides under the kernel's DMA-segment-rate floor
         # (docs/PERF.md). head_ref's block index is i // MM_S, so the
         # output block stays resident across the burst and flushes once.
-        for g in range(G):
-            v = out_ref[g, :, :, :].reshape(1, P * P * out_ref.shape[-1])
-            acc[pl.ds(jax.lax.rem(i, MM_S) * G + g, 1), :] = v
+        #
+        # The G rows are stacked in registers and stored as ONE G-row block
+        # at offset rem(i, MM_S) * G: Mosaic requires a dynamic dim-0 store
+        # offset provably sublane-aligned (multiple of 8), which the *G
+        # (G = 8 at pool 7) form is and a per-row `+ g` offset is not.
+        vs = jnp.concatenate(
+            [out_ref[g, :, :, :].reshape(1, P * P * out_ref.shape[-1])
+             for g in range(G)], axis=0)
+        acc[pl.ds(jax.lax.rem(i, MM_S) * G, G), :] = vs
 
         @pl.when((jax.lax.rem(i, MM_S) == MM_S - 1)
                  | (i == pl.num_programs(0) - 1))
@@ -535,11 +541,11 @@ def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
         z = jnp.maximum(z + bdec[...], 0.0)          # (ro*16, 4C)
         for g in range(G):
             zg = z[g * 256:(g + 1) * 256, :]
-            wg = wcls[g:g + 1, :].astype(jnp.float32)  # (1, 4C)
+            wg = wcls[0, g:g + 1, :].astype(jnp.float32)  # (1, 4C)
             prod = zg * wg
             cols = [jnp.sum(prod[:, ab * cch:(ab + 1) * cch], axis=1,
                             keepdims=True) for ab in range(4)]
-            logits = jnp.concatenate(cols, axis=1) + bcls[g:g + 1, :]
+            logits = jnp.concatenate(cols, axis=1) + bcls[0, g:g + 1, :]
             mask_ref[g, :, :] = jax.nn.sigmoid(logits)
 
     if ablate == "mmprobe":
@@ -636,6 +642,9 @@ def pyramid_roi_align_pallas(
         assert mask_params is None
         head_ops = [head_params[k] for k in ("w1", "b1", "w2", "b2",
                                              "w3", "b3")]
+        # The burst-buffer store writes G rows at offset rem(i, MM_S) * G;
+        # Mosaic requires that dynamic dim-0 offset provably %8 == 0.
+        assert G % 8 == 0, f"head fusion needs G % 8 == 0, got {G}"
         assert head_ops[0].shape[0] == crop_size * crop_size * c, (
             head_ops[0].shape, crop_size, c)
     else:
@@ -679,8 +688,9 @@ def pyramid_roi_align_pallas(
         + [pl.BlockSpec(h.shape, lambda i, *_: (0, 0)) for h in head_ops]
         + [pl.BlockSpec(h.shape, lambda i, *_, nd=h.ndim: (0,) * nd)
            for h in mask_res]
-        + ([pl.BlockSpec((G, 4 * c), lambda i, *_: (i, 0)),
-            pl.BlockSpec((G, 1), lambda i, *_: (i, 0))] if mask_res else []),
+        + ([pl.BlockSpec((1, G, 4 * c), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, G, 1), lambda i, *_: (i, 0, 0))]
+           if mask_res else []),
         out_specs=[pl.BlockSpec((G, crop_size, crop_size, c),
                                 lambda i, *_: (i, 0, 0, 0))]
         + ([pl.BlockSpec((MM_S * G, HEAD_OUT),
@@ -718,7 +728,12 @@ def pyramid_roi_align_pallas(
     )
 
     def run_chunk(sl):
-        extra = [sl["wcls"], sl["bcls"]] if mask_res else []
+        # Per-ROI class weights ride in G-row step blocks; Mosaic's block
+        # rule wants the last two dims full or (8, 128)-divisible, so they
+        # are shipped (steps, G, ·) with a (1, G, ·) block — G = 4 at pool
+        # 14 is not a legal 2-D block height.
+        extra = ([sl["wcls"].reshape(steps, G, 4 * c),
+                  sl["bcls"].reshape(steps, G, 1)] if mask_res else [])
         outs = call(sl["meta"], sl["rs"], sl["ca8"], sl["wy0"], sl["wy1"],
                     sl["wxm"], *srcs, *head_ops, *mask_res, *extra)
         if head_ops:

@@ -24,8 +24,8 @@ run bench_fuse_mask 2400 python bench.py --iters 10 --fuse mask
 run bench_fuse_both 2400 python bench.py --iters 10 --fuse both
 
 # 3. Proposal sub-stage attribution (the 18.9 ms stage, never decomposed).
-run ablate_proposal 3600 env PYTHONPATH=. \
+run ablate_proposal 3600 env PYTHONPATH=.:${PYTHONPATH:-} \
   python tools/ablate_pipeline.py --batch 48 --proposal-detail
-run prop_probe 2400 env PYTHONPATH=. python tools/prop_probe.py
+run prop_probe 2400 env PYTHONPATH=.:${PYTHONPATH:-} python tools/prop_probe.py
 
 echo "done $(date +%H:%M)" | tee -a "$OUT/log.txt"
