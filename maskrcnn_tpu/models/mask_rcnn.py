@@ -88,8 +88,7 @@ def backbone_fpn(params, images, config: MaskRCNNConfig, dtype,
     return fpn.apply_fpn(params, c2, c3, c4, c5, dtype=dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "with_features"))
-def forward(
+def _forward(
     params,
     images: jnp.ndarray,
     anchors: jnp.ndarray,
@@ -245,3 +244,24 @@ def forward(
         out.update(rpn_logits=rpn_logits, rpn_deltas=rpn_deltas,
                    pyramid=pyramid)
     return out
+
+
+_forward_jit = jax.jit(
+    _forward, static_argnames=("config", "with_features"))
+# The fused ROIAlign+head kernels (config.fuse_classifier_head /
+# fuse_mask_head) keep the folded head weights VMEM-resident for the whole
+# grid — ~40 MB for the classifier head's (12544, 1024) bf16 dense — which
+# exceeds XLA's default 16 MB scoped-VMEM budget for the surrounding module
+# even though the kernel itself fits v5e's 128 MB VMEM. Raise the budget
+# only for modules compiled with fusion on; the default path keeps XLA's
+# stock fusion heuristics.
+_forward_jit_fused = jax.jit(
+    _forward, static_argnames=("config", "with_features"),
+    compiler_options={"xla_tpu_scoped_vmem_limit_kib": 64 * 1024})
+
+
+def forward(params, images, anchors, config, with_features=False):
+    """Jitted detector forward; see `_forward` for the contract."""
+    fused = config.fuse_classifier_head or config.fuse_mask_head
+    fn = _forward_jit_fused if fused else _forward_jit
+    return fn(params, images, anchors, config, with_features=with_features)

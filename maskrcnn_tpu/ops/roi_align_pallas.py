@@ -545,7 +545,10 @@ def _kernel(meta_ref, rs_ref, ca8_ref, wy0_ref, wy1_ref,
             prod = zg * wg
             cols = [jnp.sum(prod[:, ab * cch:(ab + 1) * cch], axis=1,
                             keepdims=True) for ab in range(4)]
-            logits = jnp.concatenate(cols, axis=1) + bcls[0, g:g + 1, :]
+            # Scalar bias splat: a (1, 1) vector + (256, 4) add lowers to a
+            # both-axes broadcast Mosaic doesn't implement; a rank-0 scalar
+            # splats fine.
+            logits = jnp.concatenate(cols, axis=1) + bcls[0, g, 0]
             mask_ref[g, :, :] = jax.nn.sigmoid(logits)
 
     if ablate == "mmprobe":
