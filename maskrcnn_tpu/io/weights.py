@@ -184,7 +184,10 @@ def save_h5_weights(params: Mapping[str, Any], path: str,
                         arr = np.transpose(arr, (0, 1, 3, 2))  # HWIO -> keras
                     qual = (f"{group_name}/{layer}/{w}:0"
                             if group_name != layer else f"{layer}/{w}:0")
-                    f.create_dataset(qual, data=arr)
+                    # Keras creates each dataset INSIDE the layer group under
+                    # the full variable name, i.e. /conv1/conv1/kernel:0 —
+                    # the layer name appears twice in the path.
+                    g.create_dataset(qual, data=arr)
                     weight_names.append(qual.encode())
             g.attrs["weight_names"] = weight_names
             layer_names.append(group_name.encode())

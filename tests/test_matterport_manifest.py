@@ -1,0 +1,143 @@
+"""Real-artifact contract tests (VERDICT.md round-1 Missing #1).
+
+`tests/fixtures/matterport_coco_h5_manifest.json` is the layer-name + shape
+census of the released `mask_rcnn_coco.h5` (resnet101, 81 classes), authored
+from the public Matterport architecture by `tools/make_matterport_manifest.py`
+— NOT from this repo's model code. These tests fail if the loader or the
+model's parameter census diverges from the real artifact's layout, replacing
+the round-1 self-referential writer→reader round-trip as the only contract.
+
+Reference: the artifact is what `Sources/maskrcnn/DownloadCommand.swift:32`
+ultimately serves (converted) and `Conversion/task.py:173` consumes.
+"""
+
+import json
+import os
+
+import h5py
+import jax
+import numpy as np
+import pytest
+
+from maskrcnn_tpu.core.config import MaskRCNNConfig
+from maskrcnn_tpu.io.weights import (load_h5_weights, merge_pretrained,
+                                     save_h5_weights)
+from maskrcnn_tpu.models.mask_rcnn import init_mask_rcnn
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "matterport_coco_h5_manifest.json")
+
+
+@pytest.fixture(scope="module")
+def manifest():
+    with open(FIXTURE) as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def coco_params():
+    cfg = MaskRCNNConfig(architecture="resnet101")
+    assert cfg.num_classes == 81
+    return init_mask_rcnn(jax.random.PRNGKey(0), cfg)
+
+
+def materialize_h5(manifest, path):
+    """Write an HDF5 file following the manifest byte-layout exactly:
+    raw h5py calls, independent of `save_h5_weights`."""
+    rng = np.random.default_rng(7)
+    with h5py.File(path, "w") as f:
+        layer_names = []
+        for group_name, spec in manifest["groups"].items():
+            g = f.create_group(group_name)
+            g.attrs["weight_names"] = [n.encode()
+                                       for n in spec["weight_names"]]
+            for dset_path, shape in spec["datasets"].items():
+                f.create_dataset(
+                    dset_path,
+                    data=rng.normal(0, 0.05, shape).astype(np.float32))
+            layer_names.append(group_name.encode())
+        # The real file also lists weightless layers; include a few to prove
+        # the loader ignores empty groups.
+        for empty in ("input_image", "ROI", "lambda_1"):
+            g = f.create_group(empty)
+            g.attrs["weight_names"] = []
+            layer_names.append(empty.encode())
+        f.attrs["layer_names"] = layer_names
+        for k, v in manifest["root_attrs"].items():
+            f.attrs[k] = v.encode()
+
+
+def test_manifest_census_matches_model(manifest, coco_params):
+    """Every (layer, weight, shape) the model expects exists in the real
+    artifact, and vice versa — zero missing, zero extra."""
+    flat = {}
+    for spec in manifest["groups"].values():
+        for dset_path, shape in spec["datasets"].items():
+            parts = dset_path.split("/")
+            name = parts[-1]
+            assert name.endswith(":0")
+            flat.setdefault(parts[-2], {})[name[:-2]] = tuple(shape)
+
+    model = {layer: {w: tuple(np.shape(v)) for w, v in ws.items()}
+             for layer, ws in coco_params.items()}
+    # Keras stores the deconv kernel (kh, kw, out, in); the model holds HWIO.
+    model["mrcnn_mask_deconv"]["kernel"] = tuple(
+        np.array(model["mrcnn_mask_deconv"]["kernel"])[[0, 1, 3, 2]])
+
+    assert sorted(flat) == sorted(model), (
+        f"missing from file: {sorted(set(model) - set(flat))[:8]}; "
+        f"extra in file: {sorted(set(flat) - set(model))[:8]}")
+    for layer in model:
+        assert flat[layer] == model[layer], (
+            layer, flat[layer], model[layer])
+
+
+def test_total_params(manifest):
+    # Matterport's documented total for resnet101 + 81 classes.
+    assert manifest["total_params"] == 64_158_584
+
+
+def test_strict_load_real_layout(manifest, coco_params, tmp_path):
+    """The flagship chain: a file in the REAL artifact's byte layout
+    strict-loads with zero missing layers and zero unused weighted layers."""
+    path = str(tmp_path / "mask_rcnn_coco_layout.h5")
+    materialize_h5(manifest, path)
+    loaded = load_h5_weights(path)
+    params, missing, unused = merge_pretrained(coco_params, loaded,
+                                               strict=True)
+    assert missing == []
+    assert unused == []
+    # Deconv kernel must come back transposed to HWIO and value-faithful.
+    with h5py.File(path, "r") as f:
+        raw = np.asarray(
+            f["mrcnn_mask_deconv/mrcnn_mask_deconv/kernel:0"])
+    np.testing.assert_array_equal(
+        np.asarray(params["mrcnn_mask_deconv"]["kernel"]),
+        raw.transpose(0, 1, 3, 2))
+
+
+def test_writer_reproduces_real_layout(manifest, coco_params, tmp_path):
+    """`save_h5_weights` must emit the real artifact's dataset paths and
+    per-group weight_names (catches writer drift from the Keras layout)."""
+    path = str(tmp_path / "written.h5")
+    save_h5_weights(coco_params, path)
+    got_paths = set()
+    got_names = {}
+    with h5py.File(path, "r") as f:
+        def visit(name, obj):
+            if isinstance(obj, h5py.Dataset):
+                got_paths.add(name)
+        f.visititems(visit)
+        for group_name in manifest["groups"]:
+            assert group_name in f, f"group {group_name} not written"
+            got_names[group_name] = [
+                n.decode() if isinstance(n, bytes) else str(n)
+                for n in f[group_name].attrs["weight_names"]]
+
+    want_paths = {p for spec in manifest["groups"].values()
+                  for p in spec["datasets"]}
+    assert got_paths == want_paths, (
+        f"missing: {sorted(want_paths - got_paths)[:6]}; "
+        f"extra: {sorted(got_paths - want_paths)[:6]}")
+    for group_name, spec in manifest["groups"].items():
+        assert sorted(got_names[group_name]) == sorted(spec["weight_names"])

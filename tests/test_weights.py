@@ -46,7 +46,9 @@ def test_h5_deconv_kernel_transposed(params, tmp_path):
     save_h5_weights(params, p)
     import h5py
     with h5py.File(p) as f:
-        stored = np.asarray(f["mrcnn_mask_deconv/kernel:0"])
+        # Keras layout: dataset inside the layer group under the full
+        # variable name (layer name appears twice in the path).
+        stored = np.asarray(f["mrcnn_mask_deconv/mrcnn_mask_deconv/kernel:0"])
     ours = np.asarray(params["mrcnn_mask_deconv"]["kernel"])
     # File layout is Keras (kh, kw, out, in); ours is HWIO.
     assert stored.shape == (ours.shape[0], ours.shape[1], ours.shape[3],
