@@ -5,7 +5,21 @@ The reference delegated scoring to pycocotools inside a Docker container
 from-scratch implementation of the same published evaluation protocol:
 greedy score-ordered matching per (category, IoU threshold, area range,
 maxDets), crowd/ignore handling, 101-point interpolated precision, and the
-standard 12-number summary. Mask IoU runs on the native RLE core.
+standard 12-number summary. Validated against vendored pycocotools
+known-answer fixtures (`tests/fixtures/cocoeval_golden.json`).
+
+Protocol details matched exactly:
+  * area-range bounds are INCLUSIVE on both ends (a gt of area 32² is
+    in-range for both "small" and "medium");
+  * gt ignore = explicit ``ignore`` flag OR ``iscrowd`` OR area out of range;
+  * equal-IoU ties go to the later-scanned gt; crowds can be matched by
+    multiple detections; an ignored match never displaces a non-ignored one;
+  * detection "area" is bbox area for bbox eval and MASK area for segm eval.
+
+The matching hot loop runs in native code (`native/src/evalmatch.cpp`, one
+FFI call per (category, image) covering all areas x thresholds); a
+vectorized numpy path provides the same semantics without a toolchain and
+is differentially tested against the native kernel.
 
 Detection results use the standard COCO results-list format:
     {"image_id", "category_id", "bbox": [x,y,w,h], "score",
@@ -18,6 +32,7 @@ import numpy as np
 
 from maskrcnn_tpu.evalkit import mask_rle as M
 from maskrcnn_tpu.evalkit.coco import COCODataset
+from maskrcnn_tpu.native import get_evalmatch_lib, p_f64, p_i64, p_u8
 
 IOU_THRS = np.round(np.arange(0.5, 0.951, 0.05), 2)      # 10 thresholds
 REC_THRS = np.round(np.arange(0.0, 1.001, 0.01), 2)      # 101 recall points
@@ -30,18 +45,22 @@ AREA_RNG = {
 MAX_DETS = (1, 10, 100)
 
 
-def _img_ious(dataset: COCODataset, results_by_img, img_id, cat_id,
-              iou_type: str):
-    """Returns (gts, dts, ious, dt_areas) — detection area follows
+def _ann_area(g):
+    b = g.get("bbox", [0, 0, 0, 0])
+    return float(b[2] * b[3])
+
+
+def _img_ious(dataset: COCODataset, gts, dts, img_id, iou_type: str):
+    """IoU matrix (D,G) + detection areas. Detection area follows
     pycocotools' loadRes convention: bbox area for bbox eval, MASK area for
     segm eval (a segm-only results file need not carry a bbox at all)."""
-    gts = [a for a in dataset.annotations_for(img_id)
-           if int(a["category_id"]) == cat_id]
-    dts = [d for d in results_by_img.get(img_id, [])
-           if int(d["category_id"]) == cat_id]
-    dts = sorted(dts, key=lambda d: -d["score"])
-    if not gts and not dts:
-        return gts, dts, np.zeros((0, 0)), []
+    if not gts or not dts:
+        return np.zeros((len(dts), len(gts))), [
+            (float(d["bbox"][2]) * float(d["bbox"][3])) if iou_type == "bbox"
+            else float(M.area(M.from_coco_segmentation(
+                d["segmentation"], dataset.images[img_id].height,
+                dataset.images[img_id].width)))
+            for d in dts]
     iscrowd = [bool(g.get("iscrowd", 0)) for g in gts]
     if iou_type == "bbox":
         dt_areas = [float(d["bbox"][2]) * float(d["bbox"][3]) for d in dts]
@@ -57,65 +76,93 @@ def _img_ious(dataset: COCODataset, results_by_img, img_id, cat_id,
                                           im.width) for d in dts]
         dt_areas = [float(M.area(r)) for r in d_rle]
         ious = M.iou_masks(d_rle, g_rle, iscrowd)
-    return gts, dts, ious, dt_areas
+    return np.asarray(ious, np.float64), dt_areas
 
 
-def _evaluate_img(gts, dts, ious, dt_areas, area_rng, max_det):
-    """Greedy matching for one (image, category): returns per-dt match /
-    ignore flags for every IoU threshold plus gt ignore flags."""
-    t_n = len(IOU_THRS)
-    g_n = len(gts)
+def match_all_areas(ious, g_areas, g_crowd, g_ignore_flag, d_areas,
+                    area_rngs, iou_thrs=IOU_THRS, *, force_numpy=False):
+    """Greedy matching for one (category, image) over every (area range,
+    IoU threshold) pair.
 
-    g_ignore = np.asarray([
-        bool(g.get("iscrowd", 0))
-        or not (area_rng[0] <= g.get("area", _ann_area(g)) < area_rng[1])
-        for g in gts], bool)
-    # process non-ignored gts first (pycocotools sorts by ignore flag)
-    g_order = np.argsort(g_ignore, kind="stable")
+    Args:
+      ious: (D, G) float IoU matrix, detections pre-sorted by -score.
+      g_areas / g_crowd / g_ignore_flag: per-gt area, iscrowd, ignore.
+      d_areas: per-detection area (bbox or mask).
+      area_rngs: (A, 2) inclusive [lo, hi] bounds.
 
-    dts = dts[:max_det]
-    d_n = len(dts)
-    dtm = np.zeros((t_n, d_n), np.int64) - 1   # matched gt (original index)
-    gtm = np.zeros((t_n, g_n), np.int64) - 1
-    for ti, thr in enumerate(IOU_THRS):
-        for di in range(d_n):
-            best_iou = min(thr, 1 - 1e-10)
-            best_g = -1
-            for g_pos in g_order:
-                if gtm[ti, g_pos] >= 0 and not gts[g_pos].get("iscrowd", 0):
-                    continue
-                # past the best non-ignored match, stop at ignored gts
-                if (best_g >= 0 and not g_ignore[best_g]
-                        and g_ignore[g_pos]):
-                    break
-                if ious[di, g_pos] < best_iou:
-                    continue
-                best_iou = ious[di, g_pos]
-                best_g = g_pos
-            if best_g >= 0:
-                dtm[ti, di] = best_g
-                gtm[ti, best_g] = di
+    Returns dict with dtm (A,T,D) matched-gt indices (-1 unmatched),
+    d_ignore (A,T,D) bool, n_gt (A,) non-ignored gt counts.
+    """
+    ious = np.ascontiguousarray(ious, np.float64)
+    D, G = ious.shape
+    area_rngs = np.asarray(area_rngs, np.float64).reshape(-1, 2)
+    A, T = len(area_rngs), len(iou_thrs)
+    g_areas = np.asarray(g_areas, np.float64).reshape(G)
+    g_crowd = np.asarray(g_crowd, bool).reshape(G)
+    g_ignore_flag = np.asarray(g_ignore_flag, bool).reshape(G)
+    d_areas = np.asarray(d_areas, np.float64).reshape(D)
 
-    a0, a1 = area_rng
-    d_out_of_range = np.asarray(
-        [not (a0 <= a < a1) for a in dt_areas[:max_det]], bool)
-    d_ignore = np.zeros((t_n, d_n), bool)
-    for ti in range(t_n):
-        matched = dtm[ti] >= 0
-        matched_ignored = np.zeros(d_n, bool)
-        matched_ignored[matched] = g_ignore[dtm[ti][matched]]
-        d_ignore[ti] = matched_ignored | (~matched & d_out_of_range)
+    lo, hi = area_rngs[:, :1], area_rngs[:, 1:]           # (A,1) each
+    # INCLUSIVE bounds on both ends, as pycocotools checks them.
+    g_ign = (g_ignore_flag | g_crowd)[None, :] | (
+        (g_areas[None, :] < lo) | (g_areas[None, :] > hi))     # (A,G)
+    d_out = (d_areas[None, :] < lo) | (d_areas[None, :] > hi)  # (A,D)
 
-    scores = np.asarray([d["score"] for d in dts], float)
-    return {
-        "dtm": dtm, "d_ignore": d_ignore, "scores": scores,
-        "n_gt": int((~g_ignore).sum()),
-    }
+    lib = None if force_numpy else get_evalmatch_lib()
+    if lib is not None:
+        dtm = np.full((A, T, D), -1, np.int64)
+        d_ignore = np.zeros((A, T, D), np.uint8)
+        n_gt = np.zeros(A, np.int64)
+        lib.eval_match(
+            ious.ctypes.data_as(p_f64), D, G,
+            np.ascontiguousarray(g_ign, np.uint8).ctypes.data_as(p_u8),
+            np.ascontiguousarray(g_crowd, np.uint8).ctypes.data_as(p_u8),
+            np.ascontiguousarray(d_out, np.uint8).ctypes.data_as(p_u8), A,
+            np.ascontiguousarray(iou_thrs, np.float64).ctypes.data_as(p_f64),
+            T,
+            dtm.ctypes.data_as(p_i64),
+            d_ignore.ctypes.data_as(p_u8),
+            n_gt.ctypes.data_as(p_i64))
+        return {"dtm": dtm, "d_ignore": d_ignore.astype(bool),
+                "n_gt": n_gt}
 
+    # Vectorized numpy path: loop over detections (score order is the
+    # sequential dependency), broadcast over (A, T, G).
+    thr = np.minimum(np.asarray(iou_thrs, np.float64), 1 - 1e-10)
+    gtm = np.full((A, T, G), -1, np.int64)
+    dtm = np.full((A, T, D), -1, np.int64)
+    g_ign_at = np.broadcast_to(g_ign[:, None, :], (A, T, G))
+    for di in range(D if G else 0):
+        iou_row = ious[di]                                   # (G,)
+        ok = iou_row[None, None, :] >= thr[None, :, None]    # (1,T,G)
+        avail = (gtm < 0) | g_crowd[None, None, :]           # (A,T,G)
+        cand = ok & avail
+        cand_non = cand & ~g_ign_at
+        use_ign = ~cand_non.any(-1, keepdims=True)
+        cand_eff = np.where(use_ign, cand & g_ign_at, cand_non)
+        iou_eff = np.where(cand_eff, iou_row[None, None, :], -1.0)
+        best = iou_eff.max(-1)                               # (A,T)
+        has = best >= 0
+        if not has.any():
+            continue
+        # equal-IoU ties go to the LAST gt in scan order; within each
+        # ignore class the scan is stable, so last = highest index.
+        winner = G - 1 - np.argmax(iou_eff[..., ::-1] >= best[..., None],
+                                   axis=-1)                  # (A,T)
+        a_idx, t_idx = np.nonzero(has)
+        w = winner[a_idx, t_idx]
+        gtm[a_idx, t_idx, w] = di
+        dtm[a_idx, t_idx, di] = w
 
-def _ann_area(g):
-    b = g.get("bbox", [0, 0, 0, 0])
-    return float(b[2] * b[3])
+    d_unmatched = np.broadcast_to(d_out[:, None, :], (A, T, D))
+    if G == 0:
+        d_ignore = d_unmatched.copy()
+    else:
+        d_ignore = np.where(
+            dtm >= 0,
+            np.take_along_axis(g_ign_at, np.maximum(dtm, 0), axis=-1),
+            d_unmatched)
+    return {"dtm": dtm, "d_ignore": d_ignore, "n_gt": (~g_ign).sum(-1)}
 
 
 class COCOEvaluator:
@@ -138,18 +185,46 @@ class COCOEvaluator:
         self.precision = None
         self.recall = None
 
+    def _grouped(self):
+        """{(cat, img): (gts, dts)} for pairs with any content; dts sorted
+        by descending score (stable) and capped at max(MAX_DETS)."""
+        img_set = set(self.img_ids)
+        by_pair: dict[tuple[int, int], tuple[list, list]] = {}
+
+        def slot(cat, img):
+            key = (int(cat), int(img))
+            if key not in by_pair:
+                by_pair[key] = ([], [])
+            return by_pair[key]
+
+        for img in self.img_ids:
+            for g in self.dataset.annotations_for(img):
+                slot(g["category_id"], img)[0].append(g)
+        for img, dts in self.results_by_img.items():
+            if img not in img_set:
+                continue
+            for d in dts:
+                slot(d["category_id"], img)[1].append(d)
+        cap = max(MAX_DETS)
+        for key, (gts, dts) in by_pair.items():
+            dts.sort(key=lambda d: -d["score"])
+            del dts[cap:]
+        return by_pair
+
     def evaluate(self):
+        area_rngs = np.asarray(list(AREA_RNG.values()))
         evals = {}
-        for cat in self.cat_ids:
-            for img in self.img_ids:
-                gts, dts, ious, dt_areas = _img_ious(
-                    self.dataset, self.results_by_img, img, cat,
-                    self.iou_type)
-                if not gts and not dts:
-                    continue
-                for aname, arng in AREA_RNG.items():
-                    evals[(cat, img, aname)] = _evaluate_img(
-                        gts, dts, ious, dt_areas, arng, max(MAX_DETS))
+        for (cat, img), (gts, dts) in self._grouped().items():
+            ious, dt_areas = _img_ious(self.dataset, gts, dts, img,
+                                       self.iou_type)
+            m = match_all_areas(
+                ious,
+                [g.get("area", _ann_area(g)) for g in gts],
+                [bool(g.get("iscrowd", 0)) for g in gts],
+                [bool(g.get("ignore", 0)) for g in gts],
+                dt_areas, area_rngs)
+            m["scores"] = np.asarray([d["score"] for d in dts], float)
+            evals[(cat, img)] = m
         self._evals = evals
         return self
 
@@ -161,44 +236,49 @@ class COCOEvaluator:
         precision = -np.ones((t_n, r_n, k_n, a_n, m_n))
         recall = -np.ones((t_n, k_n, a_n, m_n))
 
+        # Concatenate per-image results in image-id order (pycocotools'
+        # evalImgs order) so stable score-tie-breaking is reproduced.
+        by_cat: dict[int, list] = {}
+        for (cat, img) in sorted(self._evals):
+            by_cat.setdefault(cat, []).append(self._evals[(cat, img)])
+
         for ki, cat in enumerate(self.cat_ids):
-            for ai, aname in enumerate(AREA_RNG):
-                per_img = [self._evals[(cat, img, aname)]
-                           for img in self.img_ids
-                           if (cat, img, aname) in self._evals]
-                if not per_img:
+            per_img = by_cat.get(cat)
+            if not per_img:
+                continue
+            for ai in range(a_n):
+                n_gt = sum(int(e["n_gt"][ai]) for e in per_img)
+                if n_gt == 0:
                     continue
-                n_gt = sum(e["n_gt"] for e in per_img)
                 for mi, max_det in enumerate(MAX_DETS):
                     scores = np.concatenate(
                         [e["scores"][:max_det] for e in per_img])
                     order = np.argsort(-scores, kind="mergesort")
-                    if n_gt == 0:
+                    m = np.concatenate(
+                        [e["dtm"][ai, :, :max_det] for e in per_img],
+                        axis=1)[:, order]
+                    ig = np.concatenate(
+                        [e["d_ignore"][ai, :, :max_det] for e in per_img],
+                        axis=1)[:, order]
+                    tp_cum = np.cumsum((m >= 0) & ~ig, axis=1).astype(float)
+                    fp_cum = np.cumsum((m < 0) & ~ig, axis=1).astype(float)
+                    if tp_cum.shape[1] == 0:
+                        recall[:, ki, ai, mi] = 0.0
+                        precision[:, :, ki, ai, mi] = 0.0
                         continue
-                    tps, fps = [], []
-                    for e in per_img:
-                        m = e["dtm"][:, :max_det]
-                        ig = e["d_ignore"][:, :max_det]
-                        tps.append((m >= 0) & ~ig)
-                        fps.append((m < 0) & ~ig)
-                    tp = np.concatenate(tps, axis=1)[:, order]
-                    fp = np.concatenate(fps, axis=1)[:, order]
-                    tp_cum = np.cumsum(tp, axis=1).astype(float)
-                    fp_cum = np.cumsum(fp, axis=1).astype(float)
+                    rc = tp_cum / n_gt                           # (T, N)
+                    pr = tp_cum / np.maximum(tp_cum + fp_cum,
+                                             np.spacing(1))
+                    recall[:, ki, ai, mi] = rc[:, -1]
+                    # monotone-decreasing interpolation from the right
+                    pr = np.maximum.accumulate(pr[:, ::-1],
+                                               axis=1)[:, ::-1]
                     for ti in range(t_n):
-                        tpc, fpc = tp_cum[ti], fp_cum[ti]
-                        rc = tpc / n_gt
-                        pr = tpc / np.maximum(tpc + fpc, np.spacing(1))
-                        recall[ti, ki, ai, mi] = rc[-1] if len(rc) else 0.0
-                        # monotone-decreasing interpolation from the right
-                        pr = pr.tolist()
-                        for i in range(len(pr) - 1, 0, -1):
-                            pr[i - 1] = max(pr[i - 1], pr[i])
-                        inds = np.searchsorted(rc, REC_THRS, side="left")
+                        inds = np.searchsorted(rc[ti], REC_THRS,
+                                               side="left")
+                        valid = inds < pr.shape[1]
                         q = np.zeros(r_n)
-                        for rj, pi in enumerate(inds):
-                            if pi < len(pr):
-                                q[rj] = pr[pi]
+                        q[valid] = pr[ti][inds[valid]]
                         precision[ti, :, ki, ai, mi] = q
         self.precision = precision
         self.recall = recall

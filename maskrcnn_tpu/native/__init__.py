@@ -5,8 +5,9 @@ into `build/lib<name>.so` (a few seconds, once). Pure-numpy fallbacks exist
 for every function so the framework degrades gracefully without a toolchain.
 
 Libraries:
-  * librle     — COCO RLE mask codec + IoU matrices (evalkit backend).
-  * libimageio — JPEG decode (libjpeg) + letterbox resize (data loader).
+  * librle       — COCO RLE mask codec + IoU matrices (evalkit backend).
+  * libimageio   — JPEG decode (libjpeg) + letterbox resize (data loader).
+  * libevalmatch — COCO greedy dt<->gt matching core (evalkit backend).
 """
 
 from __future__ import annotations
@@ -131,6 +132,18 @@ def _bind_imageio(lib) -> None:
     lib.img_paste_mask.restype = ctypes.c_int
     lib.img_paste_mask.argtypes = [p_f32, i64, f64, f64, f64, f64,
                                    i64, i64, f64, p_u8]
+
+
+def _bind_evalmatch(lib) -> None:
+    p_f64_ = p_f64
+    lib.eval_match.restype = None
+    lib.eval_match.argtypes = [p_f64_, i64, i64, p_u8, p_u8, p_u8, i64,
+                               p_f64_, i64, p_i64, p_u8, p_i64]
+
+
+def get_evalmatch_lib():
+    """The compiled libevalmatch (COCO greedy matching core), or None."""
+    return _load("evalmatch", [], _bind_evalmatch)
 
 
 def get_rle_lib():

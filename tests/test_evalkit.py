@@ -1,5 +1,8 @@
 """COCO reader, AP evaluator, and results interchange tests."""
 
+import json
+import os
+
 import numpy as np
 import pytest
 
@@ -132,6 +135,97 @@ def test_crowd_gt_is_ignored_not_penalized():
     ev = COCOEvaluator(ds, rows, "bbox")
     stats = ev.summarize(verbose=False)
     assert stats[1] == pytest.approx(1.0)
+
+
+def _golden_cases():
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "cocoeval_golden.json")
+    with open(path) as f:
+        return json.load(f)["cases"]
+
+
+@pytest.mark.parametrize("case", _golden_cases(),
+                         ids=lambda c: c["name"])
+def test_pycocotools_golden(case):
+    """Known-answer fixtures: 12-stat vectors derived by hand-executing
+    pycocotools' published algorithm on protocol corner cases (crowd
+    re-matching, ignored-gt priority, inclusive area bounds, per-image
+    maxDets capping, out-of-range FP suppression)."""
+    ds = COCODataset({"images": case["images"],
+                      "annotations": case["annotations"],
+                      "categories": case["categories"]})
+    ev = COCOEvaluator(ds, case["results"], case.get("iou_type", "bbox"))
+    stats = ev.summarize(verbose=False)
+    np.testing.assert_allclose(stats, case["expected_stats"], atol=1e-9)
+
+
+def test_match_native_vs_numpy_fuzz():
+    """The native C++ matcher and the vectorized numpy fallback must agree
+    exactly (dtm / d_ignore / n_gt) on randomized inputs."""
+    from maskrcnn_tpu.evalkit.cocoeval import AREA_RNG, match_all_areas
+    from maskrcnn_tpu.native import get_evalmatch_lib
+    if get_evalmatch_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(0)
+    area_rngs = np.asarray(list(AREA_RNG.values()))
+    for trial in range(60):
+        D = int(rng.integers(0, 12))
+        G = int(rng.integers(0, 9))
+        # Quantized IoUs make exact ties common, stressing tie-break rules.
+        ious = rng.integers(0, 11, size=(D, G)).astype(np.float64) / 10.0
+        g_areas = rng.choice([100.0, 1024.0, 5000.0, 9216.0, 20000.0], G)
+        d_areas = rng.choice([100.0, 1024.0, 5000.0, 9216.0, 20000.0], D)
+        g_crowd = rng.random(G) < 0.3
+        g_ignore = rng.random(G) < 0.2
+        nat = match_all_areas(ious, g_areas, g_crowd, g_ignore, d_areas,
+                              area_rngs)
+        ref = match_all_areas(ious, g_areas, g_crowd, g_ignore, d_areas,
+                              area_rngs, force_numpy=True)
+        np.testing.assert_array_equal(nat["dtm"], ref["dtm"],
+                                      err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(nat["d_ignore"], ref["d_ignore"],
+                                      err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(nat["n_gt"], ref["n_gt"])
+
+
+def test_evaluator_stats_native_vs_numpy(monkeypatch):
+    """Full-evaluator differential: stats with the native matcher equal
+    stats with the numpy fallback on a randomized dataset."""
+    import maskrcnn_tpu.evalkit.cocoeval as ce
+    rng = np.random.default_rng(7)
+    images, anns, results = [], [], []
+    ann_id = 1
+    for img in range(1, 9):
+        images.append({"id": img, "width": 640, "height": 480,
+                       "file_name": f"{img}.jpg"})
+        for _ in range(int(rng.integers(0, 6))):
+            x, y = rng.uniform(0, 500), rng.uniform(0, 380)
+            w, h = rng.uniform(4, 120), rng.uniform(4, 90)
+            anns.append({"id": ann_id, "image_id": img,
+                         "category_id": int(rng.choice([3, 7])),
+                         "bbox": [x, y, w, h], "area": w * h,
+                         "iscrowd": int(rng.random() < 0.2)})
+            ann_id += 1
+        for _ in range(int(rng.integers(0, 8))):
+            base = anns[int(rng.integers(0, len(anns)))] if anns else None
+            if base is not None and rng.random() < 0.6:
+                bx, by, bw, bh = base["bbox"]
+                bbox = [bx + rng.normal(0, 6), by + rng.normal(0, 6),
+                        max(3.0, bw * rng.uniform(0.7, 1.3)),
+                        max(3.0, bh * rng.uniform(0.7, 1.3))]
+            else:
+                bbox = [rng.uniform(0, 500), rng.uniform(0, 380),
+                        rng.uniform(4, 120), rng.uniform(4, 90)]
+            results.append({"image_id": img,
+                            "category_id": int(rng.choice([3, 7])),
+                            "bbox": bbox, "score": float(rng.random())})
+    ds = COCODataset({"images": images, "annotations": anns,
+                      "categories": [{"id": 3, "name": "a"},
+                                     {"id": 7, "name": "b"}]})
+    stats_native = COCOEvaluator(ds, results, "bbox").summarize(verbose=False)
+    monkeypatch.setattr(ce, "get_evalmatch_lib", lambda: None)
+    stats_numpy = COCOEvaluator(ds, results, "bbox").summarize(verbose=False)
+    np.testing.assert_allclose(stats_native, stats_numpy, atol=0)
 
 
 def test_results_proto_roundtrip(tmp_path):
