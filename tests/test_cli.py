@@ -72,6 +72,34 @@ def test_evaluate(workspace, capsys):
     assert (workspace / ".maskrcnn/tmp/results.pb").exists()
 
 
+def test_evaluate_dp_matches_single_device(workspace, capsys):
+    """`evaluate --dp 4` over the virtual CPU mesh must reproduce the
+    single-device run exactly: same results.json rows, same AP table
+    (VERDICT: the CLI's multi-chip flag, cli/main.py evaluate --dp)."""
+    assert main(["evaluate", "t", "coco", "--limit", "2", "--batch", "2",
+                 "--results_dir", ".maskrcnn/tmp/single"]) == 0
+    out_single = capsys.readouterr().out
+    assert main(["evaluate", "t", "coco", "--limit", "2", "--batch", "2",
+                 "--dp", "4", "--results_dir", ".maskrcnn/tmp/dp"]) == 0
+    out_dp = capsys.readouterr().out
+
+    with open(workspace / ".maskrcnn/tmp/single/results.json") as f:
+        rows_single = json.load(f)
+    with open(workspace / ".maskrcnn/tmp/dp/results.json") as f:
+        rows_dp = json.load(f)
+    assert len(rows_single) == len(rows_dp) > 0
+    for a, b in zip(rows_single, rows_dp):
+        assert a["image_id"] == b["image_id"]
+        assert a["category_id"] == b["category_id"]
+        np.testing.assert_allclose(a["bbox"], b["bbox"], atol=1e-3)
+        np.testing.assert_allclose(a["score"], b["score"], atol=1e-4)
+
+    def ap_lines(s):
+        return [ln for ln in s.splitlines() if "AP @" in ln or "AR " in ln]
+
+    assert ap_lines(out_dp) == ap_lines(out_single)
+
+
 def test_demo(workspace):
     rc = main(["demo", "t", "data/coco/val2017/000000000001.jpg",
                "-o", "out.png"])

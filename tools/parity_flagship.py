@@ -1,0 +1,226 @@
+"""Flagship-scale cross-framework parity: jitted JAX path vs the TF oracle.
+
+The reference's correctness oracle is running the SAME weights through the
+independent TF implementation and comparing results (`-c` mode,
+`Sources/maskrcnn/EvaluateCommand.swift:124-127`,
+`Sources/maskrcnn/Python/COCOEval/task.py:99-105`). The CI-sized version of
+that check runs on the tiny config (tests/test_tf_full_model.py); this tool
+runs it at FLAGSHIP scale — resnet101 @ 1024², 81 classes, random weights —
+and with PRODUCTION numerics (bf16 compute + approximate top-k + fused
+Pallas heads on TPU) against the fp32 TF oracle, and writes the measured
+box/score/mask deltas to a committed JSON artifact.
+
+Detections are compared per image by greedy same-class IoU matching; the
+detection score threshold is lowered (random weights put softmax scores near
+1/num_classes, so the production 0.7 threshold would compare empty sets).
+
+Usage:
+  python tools/parity_flagship.py                    # flagship, both modes
+  python tools/parity_flagship.py --preset tiny      # tiny config variant
+  python tools/parity_flagship.py --out docs/parity_flagship.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def smooth_images(rng, batch, size):
+    """Blocky-smooth random images: stable detections (pure noise makes NMS
+    tie-happy and turns framework comparison into a coin flip)."""
+    cell = max(size // 16, 1)
+    base = rng.uniform(0, 255, (batch, size // cell, size // cell, 3))
+    img = np.kron(base, np.ones((1, cell, cell, 1)))[:, :size, :size, :]
+    return img.astype(np.float32)
+
+
+def box_iou(a, b):
+    """(N,4) x (M,4) normalized y1x1y2x2 IoU matrix."""
+    area_a = np.maximum(a[:, 2] - a[:, 0], 0) * np.maximum(a[:, 3] - a[:, 1], 0)
+    area_b = np.maximum(b[:, 2] - b[:, 0], 0) * np.maximum(b[:, 3] - b[:, 1], 0)
+    y1 = np.maximum(a[:, None, 0], b[None, :, 0])
+    x1 = np.maximum(a[:, None, 1], b[None, :, 1])
+    y2 = np.minimum(a[:, None, 2], b[None, :, 2])
+    x2 = np.minimum(a[:, None, 3], b[None, :, 3])
+    inter = np.maximum(y2 - y1, 0) * np.maximum(x2 - x1, 0)
+    union = area_a[:, None] + area_b[None, :] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+
+
+def match_detections(jx, tf_res, mask_size):
+    """Greedy same-class IoU matching of one image's detection sets.
+
+    jx: dict with boxes (N,4), class_ids (N,), scores (N,), masks (N,m,m).
+    Returns per-image delta stats.
+    """
+    n_j, n_t = len(jx["scores"]), len(tf_res["scores"])
+    iou = box_iou(jx["boxes"], tf_res["boxes"])
+    iou = np.where(jx["class_ids"][:, None] == tf_res["class_ids"][None, :],
+                   iou, -1.0)
+    pairs = []
+    used_j, used_t = set(), set()
+    order = np.dstack(np.unravel_index(np.argsort(-iou, axis=None),
+                                       iou.shape))[0]
+    for ji, ti in order:
+        if iou[ji, ti] < 0.5:
+            break
+        if ji in used_j or ti in used_t:
+            continue
+        used_j.add(int(ji))
+        used_t.add(int(ti))
+        pairs.append((int(ji), int(ti)))
+    stats = {
+        "n_jax": n_j, "n_tf": n_t, "n_matched": len(pairs),
+        "match_rate": len(pairs) / max(max(n_j, n_t), 1),
+    }
+    if pairs:
+        ji = np.array([p[0] for p in pairs])
+        ti = np.array([p[1] for p in pairs])
+        db = np.abs(jx["boxes"][ji] - tf_res["boxes"][ti])
+        ds = np.abs(jx["scores"][ji] - tf_res["scores"][ti])
+        dm = np.abs(jx["masks"][ji] - tf_res["masks"][ti])
+        stats.update({
+            "matched_iou_mean": float(np.mean(
+                [iou[a, b] for a, b in pairs])),
+            "box_linf_mean": float(db.max(-1).mean()),
+            "box_linf_max": float(db.max()),
+            "score_absdiff_mean": float(ds.mean()),
+            "score_absdiff_max": float(ds.max()),
+            "mask_absdiff_mean": float(dm.mean()),
+            "mask_absdiff_max": float(dm.max()),
+        })
+    return stats
+
+
+def run_jax(config, params, anchors, images):
+    import jax
+    import jax.numpy as jnp
+
+    from maskrcnn_tpu.models.mask_rcnn import forward
+
+    t0 = time.time()
+    out = forward(params, jnp.asarray(images), jnp.asarray(anchors), config)
+    det = np.asarray(out["detections"])
+    valid = np.asarray(out["valid"])
+    masks = np.asarray(out["masks"])
+    dt = time.time() - t0
+    res = []
+    for i in range(images.shape[0]):
+        v = valid[i]
+        res.append({
+            "boxes": det[i, v, :4].astype(np.float64),
+            "class_ids": det[i, v, 4].astype(np.int32),
+            "scores": det[i, v, 5].astype(np.float64),
+            "masks": masks[i, v].astype(np.float64),
+        })
+    return res, dt
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", choices=("flagship", "tiny"),
+                    default="flagship")
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--score-thresh", type=float, default=0.02,
+                    help="detection score threshold for the parity run "
+                         "(random weights put scores near 1/num_classes)")
+    ap.add_argument("--modes", default="fp32,production",
+                    help="comma list of jax numerics modes to compare")
+    ap.add_argument("--out", default="docs/parity_flagship.json")
+    ap.add_argument("--seed", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    from maskrcnn_tpu.core.anchors import generate_anchors
+    from maskrcnn_tpu.core.config import MaskRCNNConfig, tiny_test_config
+    from maskrcnn_tpu.evalkit.tf_forward import tf_forward
+    from maskrcnn_tpu.models.mask_rcnn import init_mask_rcnn
+
+    if args.preset == "flagship":
+        base = MaskRCNNConfig(architecture="resnet101")
+    else:
+        base = tiny_test_config()
+    base = base.replace(detection_score_threshold=args.score_thresh)
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    mode_cfgs = {
+        # exact numerics: isolates framework/depth drift from the knobs
+        "fp32": base.replace(compute_dtype="float32",
+                             proposal_topk_recall=None),
+        # the production stack: bf16 + approx top-k + fused Pallas heads
+        "production": base.replace(fuse_classifier_head=on_tpu,
+                                   fuse_mask_head=on_tpu),
+    }
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
+
+    params = init_mask_rcnn(jax.random.PRNGKey(0), base)
+    params_np = {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+                 for k, v in params.items()}
+    anchors = np.asarray(generate_anchors(base))
+    rng = np.random.default_rng(args.seed)
+    images = smooth_images(rng, args.batch, base.image_height)
+
+    print(f"# oracle: TF fp32 CPU, {base.architecture} @ "
+          f"{base.image_height}², batch {args.batch}", file=sys.stderr)
+    t0 = time.time()
+    oracle = tf_forward(params_np, images, anchors, base)
+    t_tf = time.time() - t0
+    print(f"# oracle done in {t_tf:.1f}s; detections per image: "
+          f"{[len(o['scores']) for o in oracle]}", file=sys.stderr)
+
+    report = {
+        "preset": args.preset,
+        "architecture": base.architecture,
+        "image_size": base.image_height,
+        "num_classes": base.num_classes,
+        "batch": args.batch,
+        "score_threshold": args.score_thresh,
+        "seed": args.seed,
+        "jax_device": jax.devices()[0].device_kind,
+        "tf_oracle_seconds": round(t_tf, 1),
+        "modes": {},
+    }
+    for mode in modes:
+        cfg = mode_cfgs[mode]
+        print(f"# jax mode={mode}: compute={cfg.compute_dtype}, "
+              f"topk_recall={cfg.proposal_topk_recall}, "
+              f"fused=({cfg.fuse_classifier_head},{cfg.fuse_mask_head})",
+              file=sys.stderr)
+        jx, t_jax = run_jax(cfg, params, anchors, images)
+        per_img = [match_detections(jx[i], oracle[i], base.mask_size)
+                   for i in range(args.batch)]
+        agg = {
+            "jax_seconds_incl_compile": round(t_jax, 1),
+            "per_image": per_img,
+            "total_matched": sum(p["n_matched"] for p in per_img),
+            "total_jax": sum(p["n_jax"] for p in per_img),
+            "total_tf": sum(p["n_tf"] for p in per_img),
+        }
+        matched = [p for p in per_img if p["n_matched"]]
+        for key in ("box_linf_max", "score_absdiff_max", "mask_absdiff_max"):
+            agg[key] = max((p[key] for p in matched), default=None)
+        for key in ("box_linf_mean", "score_absdiff_mean",
+                    "mask_absdiff_mean", "match_rate"):
+            vals = [p[key] for p in matched]
+            agg[key] = float(np.mean(vals)) if vals else None
+        report["modes"][mode] = agg
+        print(f"#   matched {agg['total_matched']}/{agg['total_jax']} jax "
+              f"vs {agg['total_tf']} tf; box_linf_max={agg['box_linf_max']} "
+              f"score_max={agg['score_absdiff_max']} "
+              f"mask_max={agg['mask_absdiff_max']}", file=sys.stderr)
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"# wrote {args.out}", file=sys.stderr)
+    print(json.dumps({k: v for k, v in report.items() if k != "modes"}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
