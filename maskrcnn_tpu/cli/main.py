@@ -470,6 +470,21 @@ def cmd_stream(args) -> int:
     print(f"{stats.frames} frames in {stats.wall_s:.2f}s -> "
           f"{stats.fps:.1f} fps, p50 latency {stats.p50_latency_ms:.1f} ms, "
           f"detections per microbatch: {counts[:8]}{'...' if len(counts) > 8 else ''}")
+    if args.json:
+        import jax
+        with open(args.json, "w") as f:
+            json.dump({
+                "metric": f"stream_fps_{config.architecture}_"
+                          f"{config.image_height}",
+                "frames": stats.frames,
+                "micro_batch": args.micro_batch,
+                "device_paste": bool(args.device_paste),
+                "wall_s": round(stats.wall_s, 3),
+                "fps": round(stats.fps, 2),
+                "p50_latency_ms": round(stats.p50_latency_ms, 2),
+                "device": jax.devices()[0].device_kind,
+            }, f, indent=1)
+        print(f"# wrote {args.json}", file=sys.stderr)
     return 0
 
 
@@ -620,6 +635,7 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--micro-batch", type=int, default=1)
     st.add_argument("--device-paste", action="store_true",
                     help="paste full-resolution masks on device per frame")
+    st.add_argument("--json", help="write a stats JSON artifact here")
     st.add_argument("--config")
     st.add_argument("--weights")
     st.set_defaults(fn=cmd_stream)
