@@ -1,6 +1,7 @@
 """BN batch-stat training mode + post-training statistics calibration."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -10,6 +11,7 @@ from maskrcnn_tpu.models.mask_rcnn import backbone_fpn, init_mask_rcnn, preproce
 from maskrcnn_tpu.train.calibrate import calibrate_bn_stats
 
 
+@pytest.mark.slow
 def test_calibrated_stats_match_batch_behavior(rng):
     cfg = tiny_test_config()
     params = init_mask_rcnn(jax.random.PRNGKey(0), cfg)

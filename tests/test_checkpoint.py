@@ -1,6 +1,7 @@
 """Train-state checkpoint save/resume."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -14,6 +15,7 @@ from maskrcnn_tpu.train.step import make_train_state, train_step
 from tests.test_training import make_gt
 
 
+@pytest.mark.slow
 def test_save_restore_roundtrip_and_resume(rng, tmp_path):
     cfg = tiny_test_config()
     params = init_mask_rcnn(jax.random.PRNGKey(0), cfg)
@@ -53,6 +55,7 @@ def test_save_restore_roundtrip_and_resume(rng, tmp_path):
         np.asarray(s2.params["rpn_conv_shared"]["kernel"]))
 
 
+@pytest.mark.slow
 def test_checkpoint_manager_retention_and_resume(rng, tmp_path):
     """Periodic saves prune to `keep`; restore_latest picks the newest."""
     cfg = tiny_test_config()

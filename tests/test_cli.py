@@ -9,6 +9,8 @@ import pytest
 from maskrcnn_tpu.cli.main import main
 from maskrcnn_tpu.core.config import tiny_test_config
 
+pytestmark = pytest.mark.slow  # compile-heavy (full-model jits / subprocess)
+
 
 @pytest.fixture(scope="module")
 def workspace(tmp_path_factory):

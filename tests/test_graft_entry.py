@@ -45,6 +45,7 @@ def test_dryrun_multichip_self_provisions_from_single_device():
     assert "virtual 4-device CPU mesh" in proc.stdout
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_direct_path_when_devices_available():
     # Inside the test env we already have 8 virtual CPU devices, so the
     # direct (no-subprocess) branch must be taken and succeed.

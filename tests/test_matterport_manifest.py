@@ -24,6 +24,8 @@ from maskrcnn_tpu.io.weights import (load_h5_weights, merge_pretrained,
                                      save_h5_weights)
 from maskrcnn_tpu.models.mask_rcnn import init_mask_rcnn
 
+pytestmark = pytest.mark.slow  # compile-heavy (full-model jits / subprocess)
+
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
                        "matterport_coco_h5_manifest.json")
 

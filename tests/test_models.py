@@ -135,6 +135,7 @@ def test_mask_head_fused_class_select_matches_gather(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_training_backbone_never_uses_pallas_kernels(rng, monkeypatch):
     """Frozen-BN fine-tuning has bn_ctx=None but still differentiates the
     backbone; inference=False must keep it off the (non-differentiable)

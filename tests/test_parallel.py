@@ -9,6 +9,9 @@ from maskrcnn_tpu.core.config import tiny_test_config
 from maskrcnn_tpu.models.mask_rcnn import forward, init_mask_rcnn
 from maskrcnn_tpu.parallel.mesh import (
     data_parallel_forward, dryrun_step, make_mesh, replicate, shard_batch)
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy (full-model jits / subprocess)
 
 
 def test_eight_virtual_devices():

@@ -10,6 +10,8 @@ import pytest
 from maskrcnn_tpu.ops.roi_align import pyramid_roi_align
 from maskrcnn_tpu.ops.roi_align_pallas import pyramid_roi_align_pallas
 
+pytestmark = pytest.mark.slow  # compile-heavy Pallas kernel tests
+
 IMAGE_SHAPE = (128, 128)
 CANONICAL = 224.0
 

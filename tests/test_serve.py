@@ -14,6 +14,8 @@ from maskrcnn_tpu.evalkit.mask_rle import RLE, decode
 from maskrcnn_tpu.pipeline.detector import MaskRCNNDetector
 from maskrcnn_tpu.pipeline.serve import make_server
 
+pytestmark = pytest.mark.slow  # compile-heavy (full-model jits / subprocess)
+
 
 @pytest.fixture(scope="module")
 def server():

@@ -22,6 +22,8 @@ from maskrcnn_tpu.evalkit.tf_forward import tf_forward  # noqa: E402
 from maskrcnn_tpu.models.mask_rcnn import (forward,  # noqa: E402
                                            init_mask_rcnn)
 
+pytestmark = pytest.mark.slow  # compile-heavy (full-model jits / subprocess)
+
 
 @pytest.fixture(scope="module")
 def setup():

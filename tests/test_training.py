@@ -99,6 +99,7 @@ def test_losses_perfect_prediction_zero(rng):
     assert float(L.rpn_class_loss(lg, labels)) < 1e-3
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss(rng):
     cfg = tiny_test_config()
     params = init_mask_rcnn(jax.random.PRNGKey(0), cfg)
@@ -123,6 +124,7 @@ def test_train_step_reduces_loss(rng):
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_freeze_heads_only(rng):
     cfg = tiny_test_config()
     params = init_mask_rcnn(jax.random.PRNGKey(0), cfg)

@@ -10,6 +10,9 @@ from maskrcnn_tpu.models.mask_rcnn import forward, init_mask_rcnn
 from maskrcnn_tpu.models.mobilenet import apply_mobilenetv2, init_mobilenetv2
 from maskrcnn_tpu.pipeline.detector import MaskRCNNDetector
 from maskrcnn_tpu.pipeline.stream import run_stream, synthetic_frames
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy (full-model jits / subprocess)
 
 
 def test_mobilenet_backbone_shapes(rng):
