@@ -111,3 +111,83 @@ def load_anchors_bin(path: str, expect_count: int | None = None) -> np.ndarray:
         raise ValueError(
             f"{path}: expected {expect_count} anchors, found {anchors.shape[0]}")
     return anchors
+
+
+def anchor_spec(config: MaskRCNNConfig):
+    """Hashable per-level spec for in-graph analytic anchor computation
+    (`anchors_at`). Entries: (flat offset, grid_h, grid_w, center step in
+    pixels, per-ratio (height, width) pairs pre-rounded to float32)."""
+    ratios = np.asarray(config.anchor_ratios, dtype=np.float64)
+    levels = []
+    off = 0
+    for scale, (fh, fw), stride in zip(
+            config.anchor_scales, config.feature_shapes,
+            config.backbone_strides):
+        gh = len(range(0, fh, config.anchor_stride))
+        gw = len(range(0, fw, config.anchor_stride))
+        hw = tuple(
+            (float(np.float32(scale / np.sqrt(r))),
+             float(np.float32(scale * np.sqrt(r)))) for r in ratios)
+        levels.append((off, gh, gw,
+                       config.anchor_stride * stride, hw))
+        off += gh * gw * len(ratios)
+    return (tuple(levels), len(ratios),
+            (config.image_height, config.image_width))
+
+
+def anchors_at(idx, spec):
+    """Normalized (y1,x1,y2,x2) anchors for flat indices, computed in-graph.
+
+    Replaces the (A, 8) gather-table trip through HBM in the proposal stage:
+    the anchor at a flat index is a closed-form function of (level, cell,
+    ratio), so the top-k indices can be decoded with pure VPU arithmetic —
+    no table build, no second gather (docs/PERF.md: TPU gathers are
+    per-index latency-bound). Matches `generate_anchors` to float32
+    rounding (<=2 ulp; the table rounds once from float64).
+
+    Args:
+      idx: (K,) int32 flat anchor indices (level-major layout, see module
+        docstring ordering contract).
+      spec: output of `anchor_spec(config)` (static/hashable).
+
+    Returns (K, 4) float32 normalized anchors.
+    """
+    import jax.numpy as jnp
+
+    levels, n_ratios, (img_h, img_w) = spec
+    n_levels = len(levels)
+    idx = idx.astype(jnp.int32)
+    starts = [lv[0] for lv in levels]
+    level = sum((idx >= s).astype(jnp.int32) for s in starts[1:])
+
+    def sel_level(vals):
+        out = jnp.float32(vals[0])
+        for i in range(1, n_levels):
+            out = jnp.where(level == i, jnp.float32(vals[i]), out)
+        return out
+
+    j = idx - sel_level(starts).astype(jnp.int32)
+    r = j % n_ratios
+    cell = j // n_ratios
+    gw = sel_level([lv[2] for lv in levels]).astype(jnp.int32)
+    step = sel_level([lv[3] for lv in levels])
+    cy = (cell // gw).astype(jnp.float32) * step
+    cx = (cell % gw).astype(jnp.float32) * step
+
+    def sel_hw(which):
+        out = jnp.zeros_like(cy)
+        for li, lv in enumerate(levels):
+            for ri in range(n_ratios):
+                v = jnp.float32(lv[4][ri][which])
+                out = jnp.where((level == li) & (r == ri), v, out)
+        return out
+
+    hh, ww = sel_hw(0), sel_hw(1)
+    sy = jnp.float32(img_h - 1)
+    sx = jnp.float32(img_w - 1)
+    return jnp.stack([
+        (cy - 0.5 * hh) / sy,
+        (cx - 0.5 * ww) / sx,
+        (cy + 0.5 * hh - 1.0) / sy,
+        (cx + 0.5 * ww - 1.0) / sx,
+    ], axis=-1)

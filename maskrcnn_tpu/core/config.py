@@ -61,6 +61,11 @@ class MaskRCNNConfig:
     # tie-arbitrary (saturated fp32 softmax scores —
     # ProposalLayer.swift:131-134), so this cut is within its semantics.
     proposal_topk_recall: float | None = 0.95
+    # Decode selected anchors analytically from the top-k indices inside the
+    # proposal stage (core/anchors.anchors_at) instead of gathering from the
+    # (A, 8) delta+anchor table — kills the table build and halves gathered
+    # bytes; values match the table to float32 rounding (<=2 ulp).
+    analytic_anchors: bool = True
 
     # --- detection stage (reference DetectionLayer.swift:55-61) -----------
     max_detections: int = 100

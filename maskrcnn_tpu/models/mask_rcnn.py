@@ -26,6 +26,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from maskrcnn_tpu.core.anchors import anchor_spec
 from maskrcnn_tpu.core.config import MaskRCNNConfig
 from maskrcnn_tpu.models import fpn, heads, resnet, rpn
 from maskrcnn_tpu.ops.detection import refine_detections
@@ -136,7 +137,9 @@ def _forward(
         pre_nms_max_proposals=config.pre_nms_max_proposals,
         max_proposals=config.max_proposals,
         nms_threshold=config.proposal_nms_threshold,
-        topk_recall=config.proposal_topk_recall)
+        topk_recall=config.proposal_topk_recall,
+        anchor_spec=(anchor_spec(config) if config.analytic_anchors
+                     else None))
     with stage("proposals"):
         rois, roi_valid = jax.vmap(propose, in_axes=(0, 0, None))(
             fg_scores, rpn_deltas, anchors)  # (B, R, 4)

@@ -32,11 +32,12 @@ from maskrcnn_tpu.ops.nms import nms_gather, nms_padded
 @functools.partial(
     jax.jit,
     static_argnames=("pre_nms_max_proposals", "max_proposals",
-                     "nms_threshold", "nms_tile", "topk_recall"))
+                     "nms_threshold", "nms_tile", "topk_recall",
+                     "anchor_spec"))
 def generate_proposals(
     fg_scores: jnp.ndarray,
     deltas: jnp.ndarray,
-    anchors: jnp.ndarray,
+    anchors: jnp.ndarray | None,
     *,
     bbox_std_dev=(0.1, 0.1, 0.2, 0.2),
     pre_nms_max_proposals: int = 6000,
@@ -44,8 +45,15 @@ def generate_proposals(
     nms_threshold: float = 0.7,
     nms_tile: int = 512,
     topk_recall: float | None = 0.95,
+    anchor_spec=None,
 ):
     """(A,) fg scores + (A,4) deltas + (A,4) anchors -> padded ROIs.
+
+    With `anchor_spec` (from `core.anchors.anchor_spec`), the anchors array
+    is not consulted (may be None): selected anchors are computed in-graph
+    from the top-k indices (`core.anchors.anchors_at`), eliminating the
+    (A, 8) table build + wide-gather HBM trip — only the (A, 4) deltas are
+    gathered. Anchor values match the table to float32 rounding (<=2 ulp).
 
     Returns:
       rois: (max_proposals, 4) normalized y1x1y2x2, zero-padded tail.
@@ -73,15 +81,25 @@ def generate_proposals(
     else:
         _, top_idx = jax.lax.top_k(fg_scores, k)
 
-    # One wide row gather instead of two: TPU gathers are per-index
-    # latency-bound (~14 ns/index — docs/PERF.md), so fetching the (delta,
-    # anchor) pair from a concatenated (A, 8) table halves the dominant
-    # cost of this stage (measured 6.6 ms at batch 32 for the two-gather
-    # form; the table build is one bandwidth-rate pass).
-    table = jnp.concatenate(
-        [deltas.astype(jnp.float32), anchors.astype(jnp.float32)], axis=1)
-    sel = jnp.take(table, top_idx, axis=0)
-    sel_deltas, sel_anchors = sel[:, :4], sel[:, 4:]
+    if anchor_spec is not None:
+        # Analytic path: one (A, 4) gather for the deltas; anchors decoded
+        # from the indices with VPU arithmetic (core/anchors.anchors_at) —
+        # no table build, no anchor gather.
+        from maskrcnn_tpu.core.anchors import anchors_at
+
+        sel_deltas = jnp.take(deltas, top_idx, axis=0).astype(jnp.float32)
+        sel_anchors = anchors_at(top_idx, anchor_spec)
+    else:
+        # One wide row gather instead of two: TPU gathers are per-index
+        # latency-bound (~14 ns/index — docs/PERF.md), so fetching the
+        # (delta, anchor) pair from a concatenated (A, 8) table halves the
+        # dominant cost of this stage (measured 6.6 ms at batch 32 for the
+        # two-gather form; the table build is one bandwidth-rate pass).
+        table = jnp.concatenate(
+            [deltas.astype(jnp.float32), anchors.astype(jnp.float32)],
+            axis=1)
+        sel = jnp.take(table, top_idx, axis=0)
+        sel_deltas, sel_anchors = sel[:, :4], sel[:, 4:]
 
     std = jnp.asarray(bbox_std_dev, jnp.float32)
     boxes = apply_box_deltas(sel_anchors, sel_deltas * std)

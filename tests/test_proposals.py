@@ -58,3 +58,37 @@ def test_proposals_output_static_shape(rng):
         max_proposals=cfg.max_proposals, nms_tile=128)
     assert rois.shape == (cfg.max_proposals, 4)
     assert valid.shape == (cfg.max_proposals,)
+
+
+def test_analytic_anchors_match_table():
+    """`anchors_at` must reproduce `generate_anchors` to float32 rounding,
+    for both the tiny and the flagship 1024² anchor grid."""
+    from maskrcnn_tpu.core.anchors import anchor_spec, anchors_at
+    from maskrcnn_tpu.core.config import MaskRCNNConfig
+
+    for cfg in (tiny_test_config(), MaskRCNNConfig(architecture="resnet101")):
+        table = generate_anchors(cfg)
+        spec = anchor_spec(cfg)
+        idx = jnp.arange(table.shape[0], dtype=jnp.int32)
+        got = np.asarray(anchors_at(idx, spec))
+        np.testing.assert_allclose(got, table, atol=2e-6, rtol=0)
+
+
+def test_proposals_analytic_anchor_path_matches_table_path(rng):
+    cfg = tiny_test_config()
+    from maskrcnn_tpu.core.anchors import anchor_spec
+
+    anchors = generate_anchors(cfg)
+    a = anchors.shape[0]
+    fg = rng.permutation(a).astype(np.float32) / a
+    deltas = rng.normal(0, 0.3, (a, 4)).astype(np.float32)
+    kw = dict(bbox_std_dev=STD, pre_nms_max_proposals=200, max_proposals=32,
+              nms_threshold=0.7, topk_recall=None)
+    rois_t, valid_t = generate_proposals(
+        jnp.asarray(fg), jnp.asarray(deltas), jnp.asarray(anchors), **kw)
+    rois_a, valid_a = generate_proposals(
+        jnp.asarray(fg), jnp.asarray(deltas), None,
+        anchor_spec=anchor_spec(cfg), **kw)
+    np.testing.assert_array_equal(np.asarray(valid_t), np.asarray(valid_a))
+    np.testing.assert_allclose(np.asarray(rois_a), np.asarray(rois_t),
+                               atol=3e-6, rtol=0)

@@ -27,10 +27,14 @@ pytestmark = pytest.mark.slow  # compile-heavy (full-model jits / subprocess)
 
 @pytest.fixture(scope="module")
 def setup():
-    # f32 compute + exact top-k: numerics-oracle configuration (the bf16 /
-    # approx-topk production knobs are exercised by their own tests).
+    # f32 compute + exact top-k + table anchors: numerics-oracle
+    # configuration (the bf16 / approx-topk / analytic-anchor production
+    # knobs are exercised by their own tests; with random weights the heads
+    # sit on near-ties, so even ulp-level anchor differences against the
+    # oracle's table would flip detections chaotically).
     cfg = tiny_test_config().replace(compute_dtype="float32",
-                                     proposal_topk_recall=None)
+                                     proposal_topk_recall=None,
+                                     analytic_anchors=False)
     params = init_mask_rcnn(jax.random.PRNGKey(3), cfg)
     anchors = np.asarray(generate_anchors(cfg))
     rng = np.random.default_rng(42)

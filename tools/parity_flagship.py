@@ -151,8 +151,10 @@ def main() -> int:
     on_tpu = jax.devices()[0].platform == "tpu"
     mode_cfgs = {
         # exact numerics: isolates framework/depth drift from the knobs
+        # (table anchors too — the oracle gathers from the anchors array)
         "fp32": base.replace(compute_dtype="float32",
-                             proposal_topk_recall=None),
+                             proposal_topk_recall=None,
+                             analytic_anchors=False),
         # the production stack: bf16 + approx top-k + fused Pallas heads
         "production": base.replace(fuse_classifier_head=on_tpu,
                                    fuse_mask_head=on_tpu),
