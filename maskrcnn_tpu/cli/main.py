@@ -443,10 +443,11 @@ def cmd_stream(args) -> int:
     else:
         frames = synthetic_frames(args.num_frames, size)
 
-    # warm up the compile off the clock
+    # warm up the compile off the clock — uint8, matching the wire format
+    # run_stream ships (a float warmup would compile a second, unused trace)
     import numpy as np
     detector.run_batch(np.zeros((args.micro_batch, size, size, 3),
-                                np.float32))
+                                np.uint8))
 
     counts = []
     if args.device_paste:
@@ -455,11 +456,12 @@ def cmd_stream(args) -> int:
         def on_result(i, out):
             # full-resolution boolean masks pasted ON DEVICE (BASELINE's
             # streaming config: persistent pipeline + on-device pasting)
-            pasted = paste_masks_device(
-                out["masks"][0], out["detections"][0, :, :4],
-                out["valid"][0], size)
+            for b in range(out["masks"].shape[0]):
+                pasted = paste_masks_device(
+                    out["masks"][b], out["detections"][b, :, :4],
+                    out["valid"][b], size)
+                del pasted  # consumers would device-get or render here
             counts.append(int(out["valid"].sum()))
-            del pasted  # consumers would device-get or render here
     else:
         def on_result(i, out):
             counts.append(int(out["valid"].sum()))

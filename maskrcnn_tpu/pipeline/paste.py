@@ -50,23 +50,29 @@ def paste_masks_device(
     in_y = (centers[None, :] >= y1[:, None]) & (centers[None, :] <= y2[:, None])
     in_x = (centers[None, :] >= x1[:, None]) & (centers[None, :] <= x2[:, None])
 
-    def sample_axis(coords):
+    # Bilinear sampling as two interpolation MATMULS per detection instead
+    # of 2-D fancy gathers: on TPU only plain row gathers hit the gather
+    # fast path (docs/PERF.md) — the original gather formulation cost
+    # ~700 ms/frame at 100 detections x 1024²; dense (S, m) interpolation
+    # matrices put the same arithmetic on the MXU (Wy @ mask @ Wxᵀ),
+    # ~3 GFLOP/frame. Where c0 == c1 (edge clamp) the two indicator terms
+    # land on the same column and sum to (1-w) + w = 1, so no special case.
+    def interp_matrix(coords, ok):
         c0 = jnp.clip(jnp.floor(coords), 0, m - 1).astype(jnp.int32)
         c1 = jnp.minimum(c0 + 1, m - 1)
         wfrac = jnp.clip(coords - c0, 0.0, 1.0)
-        return c0, c1, wfrac
+        j = jnp.arange(m, dtype=jnp.int32)  # (m,)
+        w_mat = ((j[None, None, :] == c0[..., None]) * (1 - wfrac)[..., None]
+                 + (j[None, None, :] == c1[..., None]) * wfrac[..., None])
+        return w_mat * ok[..., None]  # (D, S, m)
 
-    y0i, y1i, wy = sample_axis(my)  # (D, S)
-    x0i, x1i, wx = sample_axis(mx)
+    wy_mat = interp_matrix(my, in_y.astype(jnp.float32))
+    wx_mat = interp_matrix(mx, in_x.astype(jnp.float32))
 
-    def per_det(mask, y0i, y1i, wy, x0i, x1i, wx, ok_y, ok_x, is_valid):
-        top = mask[y0i][:, x0i] * (1 - wx)[None, :] + \
-              mask[y0i][:, x1i] * wx[None, :]
-        bot = mask[y1i][:, x0i] * (1 - wx)[None, :] + \
-              mask[y1i][:, x1i] * wx[None, :]
-        val = top * (1 - wy)[:, None] + bot * wy[:, None]
-        inside = ok_y[:, None] & ok_x[None, :] & is_valid
-        return ((val >= threshold) & inside).astype(jnp.uint8)
-
-    return jax.vmap(per_det)(masks, y0i, y1i, wy, x0i, x1i, wx, in_y, in_x,
-                             valid)
+    # (D, S, m) @ (D, m, m) @ (D, m, S) -> (D, S, S), batched on the MXU.
+    val = jnp.einsum("dsm,dmn->dsn", wy_mat, masks,
+                     preferred_element_type=jnp.float32)
+    val = jnp.einsum("dsn,dtn->dst", val, wx_mat,
+                     preferred_element_type=jnp.float32)
+    return ((val >= threshold)
+            & valid[:, None, None]).astype(jnp.uint8)

@@ -51,6 +51,16 @@ def run_stream(
     n = 0
     t_start = time.perf_counter()
 
+    def as_u8(frame: np.ndarray) -> np.ndarray:
+        # Video frames are 8-bit; shipping uint8 quarters the host->device
+        # transfer (12 MB -> 3 MB per 1024² frame) and the in-graph
+        # preprocess casts on device. Letterboxed float canvases are
+        # rounded (<=0.5/255 sub-integer resampling precision, below any
+        # detection tolerance).
+        if frame.dtype == np.uint8:
+            return frame
+        return np.clip(np.rint(frame), 0, 255).astype(np.uint8)
+
     def flush(p):
         if p is None:
             return
@@ -62,7 +72,7 @@ def run_stream(
 
     batch_buf: list[np.ndarray] = []
     for frame in frames:
-        batch_buf.append(frame)
+        batch_buf.append(as_u8(frame))
         if len(batch_buf) < micro_batch:
             continue
         t0 = time.perf_counter()
@@ -101,7 +111,9 @@ def frames_from_dir(path: str, size: int) -> Iterator[np.ndarray]:
 
 def synthetic_frames(n: int, size: int, seed: int = 0) -> Iterator[np.ndarray]:
     rng = np.random.default_rng(seed)
-    base = rng.uniform(0, 255, (size, size, 3)).astype(np.float32)
+    # uint8 at the source: video frames are 8-bit, and shipping uint8 is the
+    # steady-state wire format (run_stream would convert anyway).
+    base = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
     for i in range(n):
         # cheap motion: roll the frame so content changes each step
         yield np.roll(base, shift=7 * i, axis=1)
