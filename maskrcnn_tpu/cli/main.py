@@ -466,9 +466,27 @@ def cmd_stream(args) -> int:
         def on_result(i, out):
             counts.append(int(out["valid"].sum()))
 
-    stats = run_stream(
-        detector, frames, on_result=on_result,
-        micro_batch=args.micro_batch)
+    if args.device_frames:
+        # Pre-stage micro-batches on device: measures the persistent
+        # pipeline's steady-state compute throughput with the host->device
+        # wire out of the loop (over a remote tunnel the wire dominates;
+        # a locally-attached deployment sees this number).
+        import jax
+        staged, buf = [], []
+        for f in frames:
+            buf.append(f)
+            if len(buf) == args.micro_batch:
+                staged.append(jax.device_put(np.stack(buf)))
+                buf = []
+        if buf:
+            staged.append(jax.device_put(np.stack(buf)))
+        jax.block_until_ready(staged)
+        stats = run_stream(detector, staged, on_result=on_result,
+                           micro_batch=args.micro_batch, prebatched=True)
+    else:
+        stats = run_stream(
+            detector, frames, on_result=on_result,
+            micro_batch=args.micro_batch)
     print(f"{stats.frames} frames in {stats.wall_s:.2f}s -> "
           f"{stats.fps:.1f} fps, p50 latency {stats.p50_latency_ms:.1f} ms, "
           f"detections per microbatch: {counts[:8]}{'...' if len(counts) > 8 else ''}")
@@ -481,6 +499,7 @@ def cmd_stream(args) -> int:
                 "frames": stats.frames,
                 "micro_batch": args.micro_batch,
                 "device_paste": bool(args.device_paste),
+                "device_frames": bool(args.device_frames),
                 "wall_s": round(stats.wall_s, 3),
                 "fps": round(stats.fps, 2),
                 "p50_latency_ms": round(stats.p50_latency_ms, 2),
@@ -637,6 +656,9 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--micro-batch", type=int, default=1)
     st.add_argument("--device-paste", action="store_true",
                     help="paste full-resolution masks on device per frame")
+    st.add_argument("--device-frames", action="store_true",
+                    help="pre-stage frames on device (steady-state compute "
+                         "throughput, host->device wire off the clock)")
     st.add_argument("--json", help="write a stats JSON artifact here")
     st.add_argument("--config")
     st.add_argument("--weights")

@@ -39,12 +39,20 @@ def run_stream(
     frames: Iterable[np.ndarray],
     on_result: Callable[[int, dict], None] | None = None,
     micro_batch: int = 1,
+    prebatched: bool = False,
 ) -> StreamStats:
     """Drive letterboxed (S, S, 3) frames through the persistent pipeline.
 
     `on_result(frame_idx, outputs)` receives the raw padded device outputs;
     decode lazily (e.g. only when detections exist) to stay off the hot path.
     Returns throughput/latency stats.
+
+    With `prebatched=True` each item of `frames` is already a ready
+    (micro_batch, S, S, 3) batch — host numpy or a device-resident array.
+    Device-resident batches skip the host->device wire entirely, measuring
+    the persistent pipeline's steady-state compute throughput (the number a
+    locally-attached deployment sees; over a remote tunnel the wire
+    otherwise dominates).
     """
     lat: list[float] = []
     pending = None  # (idx, device outputs) — one frame of pipelining
@@ -70,24 +78,33 @@ def run_stream(
         if on_result is not None:
             on_result(idx, out)
 
-    batch_buf: list[np.ndarray] = []
-    for frame in frames:
-        batch_buf.append(as_u8(frame))
-        if len(batch_buf) < micro_batch:
-            continue
-        t0 = time.perf_counter()
-        out = detector.run_batch(np.stack(batch_buf))
-        flush(pending)  # overlap: previous frame finishes while this runs
-        pending = (n, out, t0)
-        n += len(batch_buf)
-        batch_buf = []
-    if batch_buf:
-        t0 = time.perf_counter()
-        out = detector.run_batch(np.stack(batch_buf))
+    if prebatched:
+        for batch in frames:
+            t0 = time.perf_counter()
+            out = detector.run_batch(batch)
+            flush(pending)  # overlap: previous batch finishes while this runs
+            pending = (n, out, t0)
+            n += int(batch.shape[0])
         flush(pending)
-        pending = (n, out, t0)
-        n += len(batch_buf)
-    flush(pending)
+    else:
+        batch_buf: list[np.ndarray] = []
+        for frame in frames:
+            batch_buf.append(as_u8(frame))
+            if len(batch_buf) < micro_batch:
+                continue
+            t0 = time.perf_counter()
+            out = detector.run_batch(np.stack(batch_buf))
+            flush(pending)  # overlap: previous frame finishes while this runs
+            pending = (n, out, t0)
+            n += len(batch_buf)
+            batch_buf = []
+        if batch_buf:
+            t0 = time.perf_counter()
+            out = detector.run_batch(np.stack(batch_buf))
+            flush(pending)
+            pending = (n, out, t0)
+            n += len(batch_buf)
+        flush(pending)
 
     wall = time.perf_counter() - t_start
     p50 = sorted(lat)[len(lat) // 2] * 1000 if lat else 0.0

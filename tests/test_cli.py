@@ -115,6 +115,18 @@ def test_stream(workspace, capsys):
     assert "fps" in capsys.readouterr().out
 
 
+def test_stream_device_frames(workspace, capsys):
+    # pre-staged device-resident frames: same pipeline, wire off the clock
+    rc = main(["stream", "t", "--num-frames", "4", "--micro-batch", "2",
+               "--device-frames", "--device-paste",
+               "--json", str(workspace / "stream.json")])
+    assert rc == 0
+    assert "fps" in capsys.readouterr().out
+    stats = json.load(open(workspace / "stream.json"))
+    assert stats["frames"] == 4
+    assert stats["device_frames"] is True
+
+
 def test_train_synthetic_smoke(workspace):
     rc = main(["train", "t", "--synthetic", "--steps", "2", "--batch", "1",
                "--no-calibrate", "--output", "ck.npz", "--state",
