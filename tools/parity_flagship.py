@@ -97,14 +97,19 @@ def match_detections(jx, tf_res, mask_size):
     return stats
 
 
-def run_jax(config, params, anchors, images):
+def run_jax(config, params, anchors, images, precision=None):
     import jax
     import jax.numpy as jnp
 
     from maskrcnn_tpu.models.mask_rcnn import forward
 
     t0 = time.time()
-    out = forward(params, jnp.asarray(images), jnp.asarray(anchors), config)
+    # On TPU even float32 matmuls default to bf16-flavored passes; the
+    # "highest" mode forces true f32 MXU accumulation so residual deltas
+    # measure framework drift, not matmul precision.
+    with jax.default_matmul_precision(precision or "default"):
+        out = forward(params, jnp.asarray(images), jnp.asarray(anchors),
+                      config)
     det = np.asarray(out["detections"])
     valid = np.asarray(out["valid"])
     masks = np.asarray(out["masks"])
@@ -129,7 +134,7 @@ def main() -> int:
     ap.add_argument("--score-thresh", type=float, default=0.02,
                     help="detection score threshold for the parity run "
                          "(random weights put scores near 1/num_classes)")
-    ap.add_argument("--modes", default="fp32,production",
+    ap.add_argument("--modes", default="fp32,fp32_highest,production",
                     help="comma list of jax numerics modes to compare")
     ap.add_argument("--out", default="docs/parity_flagship.json")
     ap.add_argument("--seed", type=int, default=3)
@@ -149,16 +154,23 @@ def main() -> int:
     base = base.replace(detection_score_threshold=args.score_thresh)
 
     on_tpu = jax.devices()[0].platform == "tpu"
+    fp32 = base.replace(compute_dtype="float32",
+                        proposal_topk_recall=None,
+                        analytic_anchors=False)
     mode_cfgs = {
         # exact numerics: isolates framework/depth drift from the knobs
-        # (table anchors too — the oracle gathers from the anchors array)
-        "fp32": base.replace(compute_dtype="float32",
-                             proposal_topk_recall=None,
-                             analytic_anchors=False),
+        # (table anchors too — the oracle gathers from the anchors array).
+        # NOTE: on TPU f32 matmuls still run at default (bf16-pass) matmul
+        # precision — this mode measures the production device numerics.
+        "fp32": fp32,
+        # f32 weights AND "highest" matmul precision (true f32 MXU
+        # accumulation): the purest framework-drift measurement.
+        "fp32_highest": fp32,
         # the production stack: bf16 + approx top-k + fused Pallas heads
         "production": base.replace(fuse_classifier_head=on_tpu,
                                    fuse_mask_head=on_tpu),
     }
+    mode_precision = {"fp32_highest": "highest"}
     modes = [m.strip() for m in args.modes.split(",") if m.strip()]
 
     params = init_mask_rcnn(jax.random.PRNGKey(0), base)
@@ -194,7 +206,8 @@ def main() -> int:
               f"topk_recall={cfg.proposal_topk_recall}, "
               f"fused=({cfg.fuse_classifier_head},{cfg.fuse_mask_head})",
               file=sys.stderr)
-        jx, t_jax = run_jax(cfg, params, anchors, images)
+        jx, t_jax = run_jax(cfg, params, anchors, images,
+                            precision=mode_precision.get(mode))
         per_img = [match_detections(jx[i], oracle[i], base.mask_size)
                    for i in range(args.batch)]
         agg = {
