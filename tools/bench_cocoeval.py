@@ -63,6 +63,7 @@ def main():
     ap.add_argument("--images", type=int, default=5000)
     ap.add_argument("--numpy", action="store_true",
                     help="force the numpy fallback matcher")
+    ap.add_argument("--json", help="write a stats JSON artifact here")
     args = ap.parse_args()
 
     t0 = time.perf_counter()
@@ -88,6 +89,23 @@ def main():
     print(f"summarize:  {t5 - t4:7.2f}s")
     print(f"TOTAL:      {t5 - t2:7.2f}s   AP={stats[0]:.4f} "
           f"AR100={stats[8]:.4f}")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump({
+                "metric": "cocoeval_bbox_seconds_val2017_scale",
+                "images": args.images,
+                "gts": len(ds.anns),
+                "dts": len(results),
+                "matcher": "numpy" if args.numpy else "native",
+                "evaluate_s": round(t3 - t2, 2),
+                "accumulate_s": round(t4 - t3, 2),
+                "total_s": round(t5 - t2, 2),
+                "ap": round(float(stats[0]), 4),
+                "ar100": round(float(stats[8]), 4),
+            }, f, indent=1)
+        print(f"# wrote {args.json}")
 
 
 if __name__ == "__main__":
