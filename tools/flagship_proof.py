@@ -1,0 +1,266 @@
+"""Flagship-scale end-to-end proof: from-scratch train -> calibrate ->
+evaluate at resnet101 @ 1024^2 with 81-class heads, on one chip.
+
+Round-1 proved the full training chain at resnet50 @ 128^2 (mask AP@0.5 =
+1.0); this tool re-runs the whole chain at FLAGSHIP scale and then scores
+the SAME trained checkpoint under both production numerics (bf16 + approx
+top-k 0.95 + analytic anchors) and exact numerics (f32 + exact top-k +
+table anchors). With trained weights the scores are saturated and the
+decision margins wide — the measured AP delta is what production numerics
+actually cost a deployment, complementing the adversarial random-weights
+deltas in docs/parity_flagship.json.
+
+The dataset is synthetic (PIL-drawn colored shapes with polygon
+segmentations, 4 categories) and the val split IS a subset of train — this
+is a memorization proof of the machinery at flagship scale, not a
+generalization claim. Reference analog: the train->evaluate loop the
+reference stubs out entirely (`TrainCommand.swift:10-14`) plus its eval
+harness (`EvaluateCommand.swift:159-194`).
+
+Usage (TPU, ~25 min: ~12 min train + 2 compiles + eval):
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/flagship_proof.py \
+      --root /tmp/flagship_proof --out docs/flagship_proof_r02.json
+  ... --skip-train      # reuse an existing trained checkpoint
+  ... --tf-oracle       # also score the TF oracle on the val images
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# synthetic COCO dataset (flagship-sized images)
+# ---------------------------------------------------------------------------
+
+CATEGORIES = [
+    {"id": 1, "name": "red_box"},
+    {"id": 2, "name": "green_disk"},
+    {"id": 3, "name": "blue_tri"},
+    {"id": 4, "name": "gold_box"},
+]
+_FILL = {1: (205, 40, 30), 2: (40, 185, 60), 3: (35, 70, 215),
+         4: (230, 200, 40)}
+
+
+def _shape_polygon(cat, cx, cy, w, h):
+    if cat in (1, 4):  # rectangle
+        x0, y0, x1, y1 = cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2
+        return [x0, y0, x1, y0, x1, y1, x0, y1]
+    if cat == 2:  # ellipse as a 24-gon
+        pts = []
+        for i in range(24):
+            a = 2 * math.pi * i / 24
+            pts += [cx + w / 2 * math.cos(a), cy + h / 2 * math.sin(a)]
+        return pts
+    # triangle
+    return [cx, cy - h / 2, cx + w / 2, cy + h / 2, cx - w / 2, cy + h / 2]
+
+
+def _poly_area(poly):
+    xs, ys = poly[0::2], poly[1::2]
+    s = 0.0
+    for i in range(len(xs)):
+        j = (i + 1) % len(xs)
+        s += xs[i] * ys[j] - xs[j] * ys[i]
+    return abs(s) / 2.0
+
+
+def make_dataset(root, n_train, n_val, size, seed=0):
+    """PIL-drawn scenes: 2-4 non-overlapping colored shapes on a textured
+    background; val2017 is the first `n_val` train images (memorization)."""
+    from PIL import Image, ImageDraw
+
+    rng = np.random.default_rng(seed)
+    img_dir_t = os.path.join(root, "data/coco/train2017")
+    img_dir_v = os.path.join(root, "data/coco/val2017")
+    os.makedirs(img_dir_t, exist_ok=True)
+    os.makedirs(img_dir_v, exist_ok=True)
+
+    images, anns = [], []
+    ann_id = 1
+    for img_id in range(1, n_train + 1):
+        bg = rng.integers(150, 200, (size, size, 3), dtype=np.uint8)
+        bg += rng.integers(0, 12, (size, size, 3), dtype=np.uint8)
+        im = Image.fromarray(bg)
+        draw = ImageDraw.Draw(im)
+        placed = []  # (cx, cy, r) for overlap rejection
+        for _ in range(int(rng.integers(2, 5))):
+            cat = int(rng.integers(1, 5))
+            w = float(rng.uniform(0.15, 0.37)) * size
+            h = float(rng.uniform(0.15, 0.37)) * size
+            r = max(w, h) / 2
+            for _try in range(20):
+                cx = float(rng.uniform(r + 10, size - r - 10))
+                cy = float(rng.uniform(r + 10, size - r - 10))
+                if all((cx - px) ** 2 + (cy - py) ** 2 > (r + pr + 20) ** 2
+                       for px, py, pr in placed):
+                    break
+            else:
+                continue
+            placed.append((cx, cy, r))
+            poly = _shape_polygon(cat, cx, cy, w, h)
+            if cat == 2:
+                draw.ellipse([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+                             fill=_FILL[cat])
+            else:
+                draw.polygon(list(zip(poly[0::2], poly[1::2])),
+                             fill=_FILL[cat])
+            xs, ys = poly[0::2], poly[1::2]
+            bbox = [min(xs), min(ys), max(xs) - min(xs), max(ys) - min(ys)]
+            anns.append({"id": ann_id, "image_id": img_id,
+                         "category_id": cat, "bbox": bbox,
+                         "segmentation": [poly], "area": _poly_area(poly),
+                         "iscrowd": 0})
+            ann_id += 1
+        fname = f"{img_id:012d}.jpg"
+        im.save(os.path.join(img_dir_t, fname), quality=92)
+        if img_id <= n_val:
+            im.save(os.path.join(img_dir_v, fname), quality=92)
+        images.append({"id": img_id, "width": size, "height": size,
+                       "file_name": fname})
+
+    train = {"images": images, "annotations": anns,
+             "categories": CATEGORIES}
+    val = {"images": images[:n_val],
+           "annotations": [a for a in anns if a["image_id"] <= n_val],
+           "categories": CATEGORIES}
+    ann_dir = os.path.join(root, "data/coco")
+    with open(os.path.join(ann_dir, "instances_train2017.json"), "w") as f:
+        json.dump(train, f)
+    with open(os.path.join(ann_dir, "instances_val2017.json"), "w") as f:
+        json.dump(val, f)
+    return ann_dir
+
+
+# ---------------------------------------------------------------------------
+# stages
+# ---------------------------------------------------------------------------
+
+def score(root, results_json, n_val):
+    from maskrcnn_tpu.evalkit.coco import COCODataset
+    from maskrcnn_tpu.evalkit.cocoeval import COCOEvaluator
+    from maskrcnn_tpu.evalkit.results import load_coco_results
+
+    ds = COCODataset.from_dir(os.path.join(root, "data/coco"), "val", "2017")
+    rows = load_coco_results(results_json)
+    ids = [im.id for im in ds.iter_images(limit=n_val, sort_by_id=True)]
+    out = {}
+    for iou_type in ("bbox", "segm"):
+        st = COCOEvaluator(ds, rows, iou_type, img_ids=ids).summarize(
+            verbose=False)
+        out[iou_type] = {"AP": round(float(st[0]), 4),
+                         "AP50": round(float(st[1]), 4),
+                         "AP75": round(float(st[2]), 4),
+                         "AR100": round(float(st[8]), 4)}
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/flagship_proof")
+    ap.add_argument("--arch", default="resnet101")
+    ap.add_argument("--image-size", type=int, default=1024)
+    ap.add_argument("--train-images", type=int, default=32)
+    ap.add_argument("--val-images", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--eval-batch", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--tf-oracle", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="shrink proposal/ROI counts (CPU smoke test)")
+    ap.add_argument("--out", default="docs/flagship_proof_r02.json")
+    args = ap.parse_args()
+
+    from maskrcnn_tpu.cli.main import main as cli
+    from maskrcnn_tpu.core.config import MaskRCNNConfig
+
+    root = os.path.abspath(args.root)
+    os.makedirs(root, exist_ok=True)
+    ann_dir = make_dataset(root, args.train_images, args.val_images,
+                           args.image_size, args.seed)
+    print(f"# dataset at {root}: {args.train_images} train imgs "
+          f"(val = first {args.val_images})", file=sys.stderr)
+
+    base = MaskRCNNConfig(
+        architecture=args.arch,
+        input_image_shape=(args.image_size, args.image_size, 3))
+    if args.tiny:
+        base = base.replace(
+            pre_nms_max_proposals=256, max_proposals=64, max_detections=16,
+            train_rois_per_image=32, rpn_train_anchors_per_image=64)
+    cfg_prod = os.path.join(root, "config_production.json")
+    base.to_json(cfg_prod)
+    cfg_exact = os.path.join(root, "config_exact.json")
+    base.replace(compute_dtype="float32", proposal_topk_recall=None,
+                 analytic_anchors=False).to_json(cfg_exact)
+    ckpt = os.path.join(root, "checkpoint.npz")
+
+    report = {
+        "architecture": args.arch, "image_size": args.image_size,
+        "num_classes": base.num_classes,
+        "train_images": args.train_images, "val_images": args.val_images,
+        "steps": args.steps, "batch": args.batch, "seed": args.seed,
+    }
+
+    if not args.skip_train or not os.path.exists(ckpt):
+        t0 = time.time()
+        rc = cli(["train", "proof", "--config", cfg_prod,
+                  "--annotations",
+                  os.path.join(ann_dir, "instances_train2017.json"),
+                  "--images_dir", os.path.join(ann_dir, "train2017"),
+                  "--steps", str(args.steps), "--batch", str(args.batch),
+                  "--seed", str(args.seed), "--log-every", "50",
+                  "--output", ckpt,
+                  "--metrics-log", os.path.join(root, "metrics.jsonl")])
+        if rc != 0:
+            print("train failed", file=sys.stderr)
+            return rc
+        report["train_seconds"] = round(time.time() - t0, 1)
+
+    for mode, cfg in (("production", cfg_prod), ("exact_fp32", cfg_exact)):
+        res_dir = os.path.join(root, f"results_{mode}")
+        t0 = time.time()
+        cmd = ["evaluate", "proof", "coco",
+               "--limit", str(args.val_images),
+               "--batch", str(args.eval_batch),
+               "--config", cfg, "--weights", ckpt,
+               "--annotations_dir", ann_dir,
+               "--images_dir", os.path.join(ann_dir, "val2017"),
+               "--results_dir", res_dir]
+        if args.tf_oracle and mode == "production":
+            cmd.append("--compare-tf")
+        rc = cli(cmd)
+        if rc != 0:
+            print(f"evaluate ({mode}) failed", file=sys.stderr)
+            return rc
+        stats = score(root, os.path.join(res_dir, "results.json"),
+                      args.val_images)
+        stats["eval_seconds_incl_compile"] = round(time.time() - t0, 1)
+        report[mode] = stats
+        print(f"# {mode}: {stats}", file=sys.stderr)
+
+    report["ap_delta_production_vs_exact"] = {
+        t: round(report["production"][t]["AP"]
+                 - report["exact_fp32"][t]["AP"], 4)
+        for t in ("bbox", "segm")}
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"# wrote {args.out}", file=sys.stderr)
+    print(json.dumps({k: report[k] for k in
+                      ("production", "exact_fp32",
+                       "ap_delta_production_vs_exact") if k in report}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
