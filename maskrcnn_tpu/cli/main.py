@@ -262,6 +262,10 @@ def cmd_evaluate(args) -> int:
             dets = detector.unmold(det_rows, res["masks"],
                                    np.ones((d,), bool), win)
             tf_rows.extend(detections_to_coco_results(img_id, dets, dataset))
+        # persisted so callers (e.g. tools/flagship_proof.py) can score the
+        # oracle results alongside the device results
+        save_coco_results(tf_rows,
+                          os.path.join(args.results_dir, "results_tf.json"))
         for iou_type in ("bbox", "segm"):
             print(f"== {iou_type} (TF oracle) ==")
             COCOEvaluator(dataset, tf_rows, iou_type,

@@ -248,6 +248,11 @@ def main() -> int:
         stats["eval_seconds_incl_compile"] = round(time.time() - t0, 1)
         report[mode] = stats
         print(f"# {mode}: {stats}", file=sys.stderr)
+        tf_json = os.path.join(res_dir, "results_tf.json")
+        if os.path.exists(tf_json):
+            # same trained weights through the independent TF implementation
+            report["tf_oracle"] = score(root, tf_json, args.val_images)
+            print(f"# tf_oracle: {report['tf_oracle']}", file=sys.stderr)
 
     report["ap_delta_production_vs_exact"] = {
         t: round(report["production"][t]["AP"]
