@@ -30,6 +30,9 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--mode", choices=("infer", "train"), default="infer")
+    ap.add_argument("--arch", default="resnet101",
+                    choices=("resnet101", "resnet50", "mobilenetv2"),
+                    help="backbone for the full preset")
     ap.add_argument("--fuse", choices=("config", "none", "cls", "mask",
                                        "both"), default="config",
                     help="override head-fusion flags (Pallas ROIAlign-fused "
@@ -53,7 +56,7 @@ def main() -> int:
         config = tiny_test_config()
         batch = args.batch or 2
     else:
-        config = MaskRCNNConfig(architecture="resnet101")
+        config = MaskRCNNConfig(architecture=args.arch)
         # Inference batch 48 measured the v5e throughput knee: 142.4 img/s
         # vs 139.9 at 32 and 139.5 at 64 (pipelined, same chip).
         batch = args.batch or (8 if args.mode == "train" else 48)
