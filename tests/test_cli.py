@@ -102,6 +102,24 @@ def test_evaluate_dp_matches_single_device(workspace, capsys):
     assert ap_lines(out_dp) == ap_lines(out_single)
 
 
+def test_evaluate_compare_tf(workspace, capsys):
+    """`evaluate --compare-tf` runs the same weights through the
+    independent TF implementation (the reference's `-c` mode,
+    EvaluateCommand.swift:124-127) and persists a scoreable
+    results_tf.json next to the device results."""
+    pytest.importorskip("tensorflow")
+    rc = main(["evaluate", "t", "coco", "--limit", "1", "--compare-tf",
+               "--results_dir", ".maskrcnn/tmp/tf"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "(TF oracle)" in out
+    with open(workspace / ".maskrcnn/tmp/tf/results_tf.json") as f:
+        tf_rows = json.load(f)
+    with open(workspace / ".maskrcnn/tmp/tf/results.json") as f:
+        rows = json.load(f)
+    assert {r["image_id"] for r in tf_rows} == {r["image_id"] for r in rows}
+
+
 def test_demo(workspace):
     rc = main(["demo", "t", "data/coco/val2017/000000000001.jpg",
                "-o", "out.png"])
