@@ -1,0 +1,173 @@
+"""Load-probe the HTTP model server: concurrent clients, dynamic batching.
+
+Starts `pipeline.serve.make_server` in-process on the flagship config and
+drives it with K concurrent clients POSTing JPEGs; reports request
+throughput, latency percentiles, and the batch sizes the dynamic-batching
+worker actually formed (the point of the subsystem: concurrent callers
+share one device step). Reference analog: the example app serves one
+interactive request at a time (`ViewController.swift:105-121`); this is
+the production-serving counterpart.
+
+Over this box's remote TPU tunnel the host->device wire (~25 MB/s,
+docs/PERF.md) bounds throughput exactly as it does for `cli stream`; a
+locally-attached deployment sees the device-compute ceiling instead.
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/serve_probe.py \
+      --weights /tmp/flagship_proof/checkpoint.npz \
+      --config /tmp/flagship_proof/config_production.json \
+      --images /tmp/flagship_proof/data/coco/val2017 \
+      --out docs/bench_serve_r02.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import http.client
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config")
+    ap.add_argument("--weights")
+    ap.add_argument("--images", help="dir of JPEGs to post (else synthetic)")
+    ap.add_argument("--clients", type=int, default=8)
+    ap.add_argument("--requests", type=int, default=48)
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--window-ms", type=float, default=20.0)
+    ap.add_argument("--port", type=int, default=8461)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny config (CPU smoke test)")
+    ap.add_argument("--out")
+    args = ap.parse_args()
+
+    from maskrcnn_tpu.core.config import MaskRCNNConfig, tiny_test_config
+    from maskrcnn_tpu.pipeline.detector import MaskRCNNDetector
+    from maskrcnn_tpu.pipeline.serve import make_server
+
+    if args.tiny:
+        config = tiny_test_config()
+    else:
+        config = (MaskRCNNConfig.from_json(args.config) if args.config
+                  else MaskRCNNConfig(architecture="resnet101"))
+    if args.weights:
+        detector = MaskRCNNDetector.from_checkpoint(config, args.weights)
+    else:
+        detector = MaskRCNNDetector.from_random(config)
+
+    if args.images:
+        paths = sorted(
+            os.path.join(args.images, n) for n in os.listdir(args.images)
+            if n.lower().endswith((".jpg", ".jpeg", ".png")))
+        bodies = [open(p, "rb").read() for p in paths]
+    else:
+        from io import BytesIO
+
+        from PIL import Image
+
+        rng = np.random.default_rng(0)
+        bodies = []
+        for _ in range(4):
+            arr = rng.integers(0, 255, (config.image_height,
+                                        config.image_width, 3), np.uint8)
+            buf = BytesIO()
+            Image.fromarray(arr).save(buf, "JPEG", quality=90)
+            bodies.append(buf.getvalue())
+
+    server, worker = make_server(detector, port=args.port,
+                                 max_batch=args.max_batch,
+                                 window_ms=args.window_ms)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+
+    def post(body):
+        conn = http.client.HTTPConnection("127.0.0.1", args.port, timeout=300)
+        conn.request("POST", "/detect", body=body,
+                     headers={"Content-Type": "application/octet-stream"})
+        r = conn.getresponse()
+        payload = json.loads(r.read())
+        conn.close()
+        return r.status, payload
+
+    # warmup: compile the padded-batch program once (not timed)
+    status, payload = post(bodies[0])
+    assert status == 200, payload
+    print(f"# warmup ok: {len(payload['detections'])} detections",
+          file=sys.stderr)
+
+    lat: list[float] = []
+    lat_lock = threading.Lock()
+    done = threading.Event()
+    remaining = [args.requests]
+    rem_lock = threading.Lock()
+    errors: list[str] = []
+    b0, f0 = worker.batches, worker.frames
+
+    def client(ci):
+        i = ci
+        while True:
+            with rem_lock:
+                if remaining[0] <= 0:
+                    return
+                remaining[0] -= 1
+            t0 = time.perf_counter()
+            try:
+                status, payload = post(bodies[i % len(bodies)])
+                if status != 200:
+                    errors.append(str(payload))
+            except Exception as e:  # noqa: BLE001 — recorded, not raised
+                errors.append(repr(e))
+            with lat_lock:
+                lat.append(time.perf_counter() - t0)
+            i += args.clients
+
+    threads = [threading.Thread(target=client, args=(ci,))
+               for ci in range(args.clients)]
+    t_start = time.perf_counter()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    wall = time.perf_counter() - t_start
+    server.shutdown()
+    worker.stop()
+
+    if errors:
+        print(f"errors: {errors[:3]}", file=sys.stderr)
+        return 1
+    lat.sort()
+    batches = worker.batches - b0
+    frames = worker.frames - f0
+    stats = {
+        "metric": (f"serve_requests_per_sec_{config.architecture}_"
+                   f"{config.image_height}"),
+        "clients": args.clients,
+        "requests": len(lat),
+        "max_batch": args.max_batch,
+        "window_ms": args.window_ms,
+        "wall_s": round(wall, 2),
+        "req_per_s": round(len(lat) / wall, 2),
+        "p50_latency_ms": round(lat[len(lat) // 2] * 1000, 1),
+        "p95_latency_ms": round(lat[int(len(lat) * 0.95)] * 1000, 1),
+        "mean_batch_size": round(frames / max(batches, 1), 2),
+    }
+    import jax
+
+    stats["device"] = jax.devices()[0].device_kind
+    print(json.dumps(stats))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(stats, f, indent=1)
+        print(f"# wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
