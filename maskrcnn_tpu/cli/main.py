@@ -448,27 +448,22 @@ def cmd_stream(args) -> int:
         frames = synthetic_frames(args.num_frames, size)
 
     # warm up the compile off the clock — uint8, matching the wire format
-    # run_stream ships (a float warmup would compile a second, unused trace)
+    # run_stream ships (a float warmup would compile a second, unused trace).
+    # With --device-paste the full-res paste is FUSED INTO the jitted forward
+    # (models/mask_rcnn.py paste_size): zero extra dispatches per frame —
+    # a separate per-frame paste dispatch costs an RPC round-trip and
+    # serializes with the next frame's forward (the round-2 9.6 fps cause).
     import numpy as np
+    paste_size = size if args.device_paste else None
     detector.run_batch(np.zeros((args.micro_batch, size, size, 3),
-                                np.uint8))
+                                np.uint8), paste_size=paste_size)
 
-    counts = []
-    if args.device_paste:
-        from maskrcnn_tpu.pipeline.paste import paste_masks_device
+    valid_refs = []  # device references only — NO syncs on the hot path
 
-        def on_result(i, out):
-            # full-resolution boolean masks pasted ON DEVICE (BASELINE's
-            # streaming config: persistent pipeline + on-device pasting)
-            for b in range(out["masks"].shape[0]):
-                pasted = paste_masks_device(
-                    out["masks"][b], out["detections"][b, :, :4],
-                    out["valid"][b], size)
-                del pasted  # consumers would device-get or render here
-            counts.append(int(out["valid"].sum()))
-    else:
-        def on_result(i, out):
-            counts.append(int(out["valid"].sum()))
+    def on_result(i, out):
+        # out["pasted"] (full-res on-device masks) is already materialized
+        # in HBM by the same program; consumers would device-get or render.
+        valid_refs.append(out["valid"])
 
     if args.device_frames:
         # Pre-stage micro-batches on device: measures the persistent
@@ -486,11 +481,13 @@ def cmd_stream(args) -> int:
             staged.append(jax.device_put(np.stack(buf)))
         jax.block_until_ready(staged)
         stats = run_stream(detector, staged, on_result=on_result,
-                           micro_batch=args.micro_batch, prebatched=True)
+                           micro_batch=args.micro_batch, prebatched=True,
+                           paste_size=paste_size)
     else:
         stats = run_stream(
             detector, frames, on_result=on_result,
-            micro_batch=args.micro_batch)
+            micro_batch=args.micro_batch, paste_size=paste_size)
+    counts = [int(v.sum()) for v in valid_refs]  # off the clock
     print(f"{stats.frames} frames in {stats.wall_s:.2f}s -> "
           f"{stats.fps:.1f} fps, p50 latency {stats.p50_latency_ms:.1f} ms, "
           f"detections per microbatch: {counts[:8]}{'...' if len(counts) > 8 else ''}")
@@ -553,6 +550,7 @@ def cmd_serve(args) -> int:
 def cmd_demo(args) -> int:
     from PIL import Image
 
+    from maskrcnn_tpu.core.coco_names import class_name
     from maskrcnn_tpu.pipeline.loader import decode_rgb
     from maskrcnn_tpu.utils.render import render_detections
 
@@ -563,11 +561,16 @@ def cmd_demo(args) -> int:
     dets = detector.detect_images([img])[0]
     print(f"{len(dets)} detections in {(time.time()-t0)*1000:.0f} ms "
           "(includes compile on first call)")
+    # Human-readable labels, like the reference's classLabel surface
+    # (results.pb.swift:138 filled in EvaluateCommand.swift:203-248 and
+    # rendered by DetectionRenderer.swift:11-88).
+    names = [class_name(i, config.num_classes)
+             for i in range(config.num_classes)]
     for d in dets:
-        print(f"  class {d.class_id}  score {d.score:.3f}  box "
+        print(f"  {names[d.class_id]}  score {d.score:.3f}  box "
               f"({d.box[0]:.0f},{d.box[1]:.0f},{d.box[2]:.0f},{d.box[3]:.0f})")
     out = args.output or "detections.png"
-    rendered = render_detections(img, dets)
+    rendered = render_detections(img, dets, class_names=names)
     Image.fromarray(rendered).save(out)
     print(f"rendered: {out}")
     return 0

@@ -95,6 +95,7 @@ def _forward(
     anchors: jnp.ndarray,
     config: MaskRCNNConfig,
     with_features: bool = False,
+    paste_size: int | None = None,
 ):
     """Raw (B, H, W, 3) RGB images -> detections + masks.
 
@@ -104,12 +105,18 @@ def _forward(
         letterboxed to `config.input_image_shape`.
       anchors: (A, 4) normalized anchor table (`core/anchors.generate_anchors`).
       config: hashable static config.
+      paste_size: if set, also paste full-resolution boolean masks ON DEVICE
+        inside the same XLA program (BASELINE streaming config: "persistent
+        compiled pipeline + on-device mask pasting"). Fused here, the paste
+        costs only its compute — a separate dispatch per frame pays an RPC
+        round-trip and serializes with the next frame's forward.
 
     Returns dict:
       detections: (B, max_detections, 6) fp32 (y1,x1,y2,x2,class_id,score).
       masks: (B, max_detections, mask_size, mask_size) fp32 in [0,1].
       valid: (B, max_detections) bool.
       rois / roi_valid: (B, max_proposals, 4) proposals (debug/training).
+      [pasted: (B, max_detections, paste_size, paste_size) uint8 if paste_size]
       [rpn_logits, rpn_deltas, pyramid if with_features]
     """
     dtype = jnp.dtype(config.compute_dtype)
@@ -243,6 +250,12 @@ def _forward(
         "rois": rois,
         "roi_valid": roi_valid,
     }
+    if paste_size is not None:
+        from maskrcnn_tpu.pipeline.paste import paste_masks
+        with stage("paste"):
+            out["pasted"] = jax.vmap(
+                lambda m_, b_, v_: paste_masks(m_, b_, v_, paste_size))(
+                masks.astype(jnp.float32), det_boxes, det_valid)
     if with_features:
         out.update(rpn_logits=rpn_logits, rpn_deltas=rpn_deltas,
                    pyramid=pyramid)
@@ -250,7 +263,7 @@ def _forward(
 
 
 _forward_jit = jax.jit(
-    _forward, static_argnames=("config", "with_features"))
+    _forward, static_argnames=("config", "with_features", "paste_size"))
 # The fused ROIAlign+head kernels (config.fuse_classifier_head /
 # fuse_mask_head) keep the folded head weights VMEM-resident for the whole
 # grid — ~40 MB for the classifier head's (12544, 1024) bf16 dense — which
@@ -259,12 +272,14 @@ _forward_jit = jax.jit(
 # only for modules compiled with fusion on; the default path keeps XLA's
 # stock fusion heuristics.
 _forward_jit_fused = jax.jit(
-    _forward, static_argnames=("config", "with_features"),
+    _forward, static_argnames=("config", "with_features", "paste_size"),
     compiler_options={"xla_tpu_scoped_vmem_limit_kib": 64 * 1024})
 
 
-def forward(params, images, anchors, config, with_features=False):
+def forward(params, images, anchors, config, with_features=False,
+            paste_size=None):
     """Jitted detector forward; see `_forward` for the contract."""
     fused = config.fuse_classifier_head or config.fuse_mask_head
     fn = _forward_jit_fused if fused else _forward_jit
-    return fn(params, images, anchors, config, with_features=with_features)
+    return fn(params, images, anchors, config, with_features=with_features,
+              paste_size=paste_size)

@@ -47,7 +47,7 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
 
 
 @functools.lru_cache(maxsize=8)  # bounded: compiled executables are big
-def make_data_parallel_forward(mesh: Mesh, config):
+def make_data_parallel_forward(mesh: Mesh, config, paste_size=None):
     """Build (and cache) the jitted DP forward for (mesh, config).
 
     The cache matters: a fresh `jax.jit(partial(...))` per call would make
@@ -57,12 +57,13 @@ def make_data_parallel_forward(mesh: Mesh, config):
     repl = NamedSharding(mesh, P())
     batched = NamedSharding(mesh, P("data"))
     return jax.jit(
-        functools.partial(forward, config=config),
+        functools.partial(forward, config=config, paste_size=paste_size),
         in_shardings=(repl, batched, repl),
         out_shardings=batched)
 
 
-def data_parallel_forward(mesh: Mesh, config, params, images, anchors):
+def data_parallel_forward(mesh: Mesh, config, params, images, anchors,
+                          paste_size=None):
     """DP batch inference: params/anchors replicated, images batch-sharded.
 
     Returns the forward() output dict with every leaf sharded on its batch
@@ -71,7 +72,8 @@ def data_parallel_forward(mesh: Mesh, config, params, images, anchors):
     devices_get's the result — the analog of the reference's final
     MLMultiArray copy-out).
     """
-    return make_data_parallel_forward(mesh, config)(params, images, anchors)
+    return make_data_parallel_forward(mesh, config, paste_size)(
+        params, images, anchors)
 
 
 def data_parallel_train_step(mesh: Mesh, config, tx_and_mask):

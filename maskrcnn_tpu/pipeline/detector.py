@@ -76,15 +76,20 @@ class MaskRCNNDetector:
 
     # --- device step -------------------------------------------------------
 
-    def run_batch(self, images: np.ndarray | jnp.ndarray) -> dict[str, Any]:
+    def run_batch(self, images: np.ndarray | jnp.ndarray,
+                  paste_size: int | None = None) -> dict[str, Any]:
         """(B, S, S, 3) RGB [0,255] letterboxed batch -> raw padded outputs
-        (normalized coords, on device; batch-sharded when data-parallel)."""
-        if self._mesh is not None:
-            return self._run_batch_dp(images)
-        return forward(self.params, jnp.asarray(images), self.anchors,
-                       self.config)
+        (normalized coords, on device; batch-sharded when data-parallel).
 
-    def _run_batch_dp(self, images) -> dict[str, Any]:
+        `paste_size`: also emit full-resolution uint8 masks pasted ON DEVICE
+        inside the same compiled program (`out["pasted"]`) — the streaming
+        path's zero-extra-dispatch mask pasting."""
+        if self._mesh is not None:
+            return self._run_batch_dp(images, paste_size)
+        return forward(self.params, jnp.asarray(images), self.anchors,
+                       self.config, paste_size=paste_size)
+
+    def _run_batch_dp(self, images, paste_size=None) -> dict[str, Any]:
         from maskrcnn_tpu.parallel.mesh import (data_parallel_forward,
                                                 shard_batch)
 
@@ -97,7 +102,7 @@ class MaskRCNNDetector:
                  np.zeros((pad, *images.shape[1:]), np.float32)])
         out = data_parallel_forward(self._mesh, self.config, self.params,
                                     shard_batch(self._mesh, images),
-                                    self.anchors)
+                                    self.anchors, paste_size=paste_size)
         if pad:
             out = {k: v[:b] for k, v in out.items()}
         return out

@@ -13,14 +13,11 @@ for 100 detections is 100 MB/image at uint8 — `out_size` can downscale).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("out_size", "threshold"))
-def paste_masks_device(
+def paste_masks(
     masks: jnp.ndarray,
     boxes: jnp.ndarray,
     valid: jnp.ndarray,
@@ -33,6 +30,10 @@ def paste_masks_device(
     set when it falls inside its box and the bilinearly-sampled mask value
     passes the threshold — matching the host-side PIL resize+threshold path
     to within resampling differences.
+
+    Traceable core — call inside a jitted graph (models/mask_rcnn.py fuses it
+    into the forward when `paste_size` is set, so streaming pays ZERO extra
+    dispatches per frame) or via the standalone `paste_masks_device` wrapper.
     """
     d, m, _ = masks.shape
     s = out_size
@@ -76,3 +77,11 @@ def paste_masks_device(
                      preferred_element_type=jnp.float32)
     return ((val >= threshold)
             & valid[:, None, None]).astype(jnp.uint8)
+
+
+#: Standalone jitted entry point (one dispatch per call). For streaming,
+#: prefer fusing into the forward (`forward(..., paste_size=S)`): a separate
+#: dispatch costs ~30 ms of RPC round-trip over a tunnel-attached chip even
+#: though the paste compute itself is a few ms (docs/PERF.md).
+paste_masks_device = jax.jit(
+    paste_masks, static_argnames=("out_size", "threshold"))

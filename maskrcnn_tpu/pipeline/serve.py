@@ -100,13 +100,16 @@ class BatchingWorker:
                 p.done.set()
 
 
-def _detections_to_json(dets) -> dict:
+def _detections_to_json(dets, num_classes: int = 81) -> dict:
+    from maskrcnn_tpu.core.coco_names import class_name
     from maskrcnn_tpu.evalkit.mask_rle import encode
 
     out = []
     for d in dets:
         row = {
             "class_id": int(d.class_id),
+            # reference's classLabel surface (results.pb.swift:138)
+            "class_label": class_name(int(d.class_id), num_classes),
             "score": float(d.score),
             "box_yxyx": [float(v) for v in d.box],
         }
@@ -160,7 +163,8 @@ def make_server(detector, host: str = "127.0.0.1", port: int = 8389,
                 img = decode_rgb_bytes(raw)
                 t0 = time.perf_counter()
                 dets = worker.submit(img)
-                payload = _detections_to_json(dets)
+                payload = _detections_to_json(
+                    dets, detector.config.num_classes)
                 payload["latency_ms"] = round(
                     (time.perf_counter() - t0) * 1000, 2)
                 self._send(200, payload)

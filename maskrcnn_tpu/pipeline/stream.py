@@ -40,12 +40,19 @@ def run_stream(
     on_result: Callable[[int, dict], None] | None = None,
     micro_batch: int = 1,
     prebatched: bool = False,
+    paste_size: int | None = None,
 ) -> StreamStats:
     """Drive letterboxed (S, S, 3) frames through the persistent pipeline.
 
     `on_result(frame_idx, outputs)` receives the raw padded device outputs;
-    decode lazily (e.g. only when detections exist) to stay off the hot path.
-    Returns throughput/latency stats.
+    it MUST NOT dispatch device work or device-get (any per-frame sync pays
+    an RPC round-trip and serializes with the next frame's forward — stash
+    device references and decode after the stream ends). Returns
+    throughput/latency stats.
+
+    `paste_size`: paste full-resolution uint8 masks on device INSIDE the
+    jitted forward (`outputs["pasted"]`) — the BASELINE streaming config's
+    on-device mask pasting, at zero extra dispatches per frame.
 
     With `prebatched=True` each item of `frames` is already a ready
     (micro_batch, S, S, 3) batch — host numpy or a device-resident array.
@@ -81,7 +88,7 @@ def run_stream(
     if prebatched:
         for batch in frames:
             t0 = time.perf_counter()
-            out = detector.run_batch(batch)
+            out = detector.run_batch(batch, paste_size=paste_size)
             flush(pending)  # overlap: previous batch finishes while this runs
             pending = (n, out, t0)
             n += int(batch.shape[0])
@@ -93,14 +100,16 @@ def run_stream(
             if len(batch_buf) < micro_batch:
                 continue
             t0 = time.perf_counter()
-            out = detector.run_batch(np.stack(batch_buf))
+            out = detector.run_batch(np.stack(batch_buf),
+                                     paste_size=paste_size)
             flush(pending)  # overlap: previous frame finishes while this runs
             pending = (n, out, t0)
             n += len(batch_buf)
             batch_buf = []
         if batch_buf:
             t0 = time.perf_counter()
-            out = detector.run_batch(np.stack(batch_buf))
+            out = detector.run_batch(np.stack(batch_buf),
+                                     paste_size=paste_size)
             flush(pending)
             pending = (n, out, t0)
             n += len(batch_buf)

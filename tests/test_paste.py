@@ -49,6 +49,34 @@ def test_device_paste_matches_host(rng):
         assert xs.max() <= int(np.ceil(boxes[i][3] * s)) + 1
 
 
+def test_forward_fused_paste_matches_standalone(rng):
+    """forward(..., paste_size=S) pastes INSIDE the jitted program (the
+    streaming path's zero-extra-dispatch on-device pasting) and must equal
+    the standalone paste of the same outputs."""
+    import jax
+
+    from maskrcnn_tpu.core.anchors import generate_anchors
+    from maskrcnn_tpu.core.config import tiny_test_config
+    from maskrcnn_tpu.models.mask_rcnn import forward, init_mask_rcnn
+
+    cfg = tiny_test_config()
+    params = init_mask_rcnn(jax.random.PRNGKey(0), cfg)
+    anchors = jnp.asarray(generate_anchors(cfg))
+    images = jnp.asarray(rng.uniform(0, 255, (2, 128, 128, 3)), jnp.float32)
+
+    out = forward(params, images, anchors, cfg, paste_size=64)
+    assert out["pasted"].shape == (2, cfg.max_detections, 64, 64)
+    assert out["pasted"].dtype == jnp.uint8
+    for b in range(2):
+        ref = paste_masks_device(out["masks"][b].astype(jnp.float32),
+                                 out["detections"][b, :, :4],
+                                 out["valid"][b], 64)
+        np.testing.assert_array_equal(np.asarray(out["pasted"][b]),
+                                      np.asarray(ref))
+    # without the flag the key is absent (no silent extra output)
+    assert "pasted" not in forward(params, images, anchors, cfg)
+
+
 def test_empty_mask_stays_empty():
     masks = jnp.zeros((2, 28, 28))
     boxes = jnp.asarray([[0.1, 0.1, 0.6, 0.6], [0.2, 0.2, 0.9, 0.9]])

@@ -31,7 +31,9 @@ def rect_rle(x: float, y: float, w: float, h: float, H: int, W: int):
 
     Column-major runs starting with zeros (pycocotools convention): lead
     zeros to the rect's first column/row, then (h ones, H-h zeros) per
-    column. Matches `mask_rle.encode` of the rasterized rect bit-exactly.
+    column. Matches `mask_rle.encode` of the rasterized rect bit-exactly
+    (a rect touching the bottom-right pixel would otherwise differ by a
+    trailing zero run, which encode omits — dropped below).
     """
     x0, y0 = max(0, int(x)), max(0, int(y))
     x1 = min(W, max(x0 + 1, int(np.ceil(x + w))))
@@ -39,7 +41,19 @@ def rect_rle(x: float, y: float, w: float, h: float, H: int, W: int):
     rw, rh = x1 - x0, y1 - y0
     counts = [x0 * H + y0, rh] + [H - rh, rh] * (rw - 1)
     counts.append(H * W - sum(counts))
+    if counts[-1] == 0:
+        counts.pop()
     return M.to_coco_counts(M.RLE(H, W, np.asarray(counts, np.uint32)))
+
+
+def rect_pixel_area(x: float, y: float, w: float, h: float,
+                    H: int, W: int) -> int:
+    """Pixel area of the clipped integer rect rect_rle rasterizes — the
+    mask area a real COCO segm GT would carry (not the float bbox area)."""
+    x0, y0 = max(0, int(x)), max(0, int(y))
+    x1 = min(W, max(x0 + 1, int(np.ceil(x + w))))
+    y1 = min(H, max(y0 + 1, int(np.ceil(y + h))))
+    return (x1 - x0) * (y1 - y0)
 
 
 def synth(n_images: int, seed: int = 0, iou_type: str = "bbox"):
@@ -67,6 +81,9 @@ def synth(n_images: int, seed: int = 0, iou_type: str = "bbox"):
                   "iscrowd": int(rng.random() < 0.02)}
             if (s := seg(gt["bbox"])) is not None:
                 gt["segmentation"] = s
+                # real COCO segm GTs carry MASK area — make area-range
+                # binning in the synthetic workload mask-based too
+                gt["area"] = rect_pixel_area(x, y, w, h, H, W)
             anns.append(gt)
             # ~2 detections near each gt + noise below
             for _ in range(2):
