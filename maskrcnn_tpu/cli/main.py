@@ -45,12 +45,18 @@ def _load_config(path: str | None, name: str):
 
 
 def _build_detector(name: str, config_path, weights_path, products_dir=None,
-                    data_parallel: int = 0):
+                    data_parallel: int = 0, exact: bool = False):
     import jax
 
     from maskrcnn_tpu.pipeline.detector import MaskRCNNDetector
 
     config = _load_config(config_path, name)
+    if exact:
+        # one-switch reference-exact numerics (f32 + exact top-k + table
+        # anchors) — see MaskRCNNConfig.exact_numerics
+        config = config.exact_numerics()
+        print("# --exact: float32 compute, exact top-k, table anchors",
+              file=sys.stderr)
     products = products_dir or os.path.join(_workspace(name), "products")
     ckpt = os.path.join(products, "checkpoint.npz")
     if weights_path is None:
@@ -126,7 +132,8 @@ def cmd_evaluate(args) -> int:
     timer = StageTimer()
     detector, config = _build_detector(args.model, args.config, args.weights,
                                        args.products_dir,
-                                       data_parallel=args.dp)
+                                       data_parallel=args.dp,
+                                       exact=args.exact)
     ann_dir = args.annotations_dir or os.path.join("data", args.dataset)
     dataset = COCODataset.from_dir(ann_dir, args.type, args.year)
     images_dir = args.images_dir or os.path.join(
@@ -440,7 +447,7 @@ def cmd_stream(args) -> int:
         frames_from_dir, run_stream, synthetic_frames)
 
     detector, config = _build_detector(args.model, args.config, args.weights,
-                                       None)
+                                       None, exact=args.exact)
     size = config.image_height
     if args.frames_dir:
         frames = frames_from_dir(args.frames_dir, size)
@@ -521,7 +528,7 @@ def cmd_serve(args) -> int:
     from maskrcnn_tpu.pipeline.serve import make_server
 
     detector, config = _build_detector(args.model, args.config, args.weights,
-                                       None)
+                                       None, exact=args.exact)
     size = config.image_height
     # Warm the single compiled batch shape off the serving path.
     detector.run_batch(np.zeros((args.max_batch, size, size, 3), np.float32))
@@ -555,7 +562,7 @@ def cmd_demo(args) -> int:
     from maskrcnn_tpu.utils.render import render_detections
 
     detector, config = _build_detector(args.model, args.config, args.weights,
-                                       None)
+                                       None, exact=args.exact)
     img = decode_rgb(args.image)
     t0 = time.time()
     dets = detector.detect_images([img])[0]
@@ -610,6 +617,8 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--results_dir", default=".maskrcnn/tmp")
     e.add_argument("-c", "--compare", metavar="RESULTS_JSON",
                    help="also score an oracle results file side-by-side")
+    e.add_argument("--exact", action="store_true",
+                   help="reference-exact numerics: float32 + exact top-k + table anchors (production defaults trade <=0.01 AP for ~2x throughput)")
     e.add_argument("--compare-tf", action="store_true",
                    help="run the same weights through the in-process "
                         "TensorFlow oracle and score both (the reference's "
@@ -666,6 +675,7 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--device-frames", action="store_true",
                     help="pre-stage frames on device (steady-state compute "
                          "throughput, host->device wire off the clock)")
+    st.add_argument("--exact", action="store_true", help="reference-exact numerics: float32 + exact top-k + table anchors (production defaults trade <=0.01 AP for ~2x throughput)")
     st.add_argument("--json", help="write a stats JSON artifact here")
     st.add_argument("--config")
     st.add_argument("--weights")
@@ -679,6 +689,7 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--port", type=int, default=8389)
     sv.add_argument("--max-batch", type=int, default=8)
     sv.add_argument("--window-ms", type=float, default=5.0)
+    sv.add_argument("--exact", action="store_true", help="reference-exact numerics: float32 + exact top-k + table anchors (production defaults trade <=0.01 AP for ~2x throughput)")
     sv.set_defaults(fn=cmd_serve)
 
     m = sub.add_parser("demo", help="detect + render one image")
@@ -687,6 +698,7 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("-o", "--output")
     m.add_argument("--config")
     m.add_argument("--weights")
+    m.add_argument("--exact", action="store_true", help="reference-exact numerics: float32 + exact top-k + table anchors (production defaults trade <=0.01 AP for ~2x throughput)")
     m.set_defaults(fn=cmd_demo)
 
     return p

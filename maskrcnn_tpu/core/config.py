@@ -210,6 +210,20 @@ class MaskRCNNConfig:
     def replace(self, **kwargs) -> "MaskRCNNConfig":
         return dataclasses.replace(self, **kwargs)
 
+    def exact_numerics(self) -> "MaskRCNNConfig":
+        """The production-vs-exact switch as ONE knob (CLI `--exact`):
+        float32 compute, exact `lax.top_k` proposal selection, table
+        anchors, no fused heads. Production defaults (bf16 + approx top-k
+        + analytic anchors) trade ≤0.01 AP for ~2× throughput
+        (docs/PARITY.md per-knob table); this is the escape hatch for
+        users who want reference-exact numerics without config surgery."""
+        return self.replace(
+            compute_dtype="float32",
+            proposal_topk_recall=None,
+            analytic_anchors=False,
+            fuse_classifier_head=False,
+            fuse_mask_head=False)
+
 
 def tiny_test_config() -> MaskRCNNConfig:
     """A miniature config for fast CPU tests (same topology, 128² input)."""
