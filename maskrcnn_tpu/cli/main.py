@@ -161,9 +161,12 @@ def cmd_evaluate(args) -> int:
             return
         t0 = time.time()
         with timer.phase("inference"):
+            # "rle": per-detection region paste + O(box area) RLE encode —
+            # full-canvas masks at val2017 scale are ~30 GB live and were
+            # the results-leg bottleneck (docs/bench_results_leg_r03.json)
             all_dets = detector.detect_canvases(
                 [c for c, _ in pending], [w for _, w in pending],
-                batch_size=args.batch)
+                batch_size=args.batch, paste_masks="rle")
         dt = (time.time() - t0) / len(pending)
         for img_id, dets in zip(pending_ids, all_dets):
             times.append(dt)
@@ -267,7 +270,8 @@ def cmd_evaluate(args) -> int:
                  res["class_ids"][:, None].astype(np.float32),
                  res["scores"][:, None]], axis=1) if d else np.zeros((0, 6))
             dets = detector.unmold(det_rows, res["masks"],
-                                   np.ones((d,), bool), win)
+                                   np.ones((d,), bool), win,
+                                   paste_masks="rle")
             tf_rows.extend(detections_to_coco_results(img_id, dets, dataset))
         # persisted so callers (e.g. tools/flagship_proof.py) can score the
         # oracle results alongside the device results

@@ -39,7 +39,11 @@ def detections_to_coco_results(
             "bbox": [float(x1), float(y1), float(x2 - x1), float(y2 - y1)],
             "score": float(d.score),
         }
-        if with_masks and d.mask is not None:
+        if with_masks and d.rle is not None:
+            # region-RLE fast path (unmold(paste_masks="rle")): O(box area),
+            # no full canvas was ever materialized
+            row["segmentation"] = d.rle
+        elif with_masks and d.mask is not None:
             rle = M.encode(d.mask.astype(np.uint8))
             row["segmentation"] = {
                 "size": [rle.h, rle.w],

@@ -132,6 +132,9 @@ def _bind_imageio(lib) -> None:
     lib.img_paste_mask.restype = ctypes.c_int
     lib.img_paste_mask.argtypes = [p_f32, i64, f64, f64, f64, f64,
                                    i64, i64, f64, p_u8]
+    lib.img_paste_mask_region.restype = ctypes.c_int
+    lib.img_paste_mask_region.argtypes = [p_f32, i64, f64, f64, f64, f64,
+                                          i64, i64, f64, p_u8, i64]
 
 
 def _bind_evalmatch(lib) -> None:

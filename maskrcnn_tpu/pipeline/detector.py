@@ -32,6 +32,11 @@ class Detection:
     class_id: int
     score: float
     mask: np.ndarray | None = None  # (orig_h, orig_w) bool, if pasted
+    #: COCO RLE dict {"size": [h, w], "counts": str} when unmolded with
+    #: paste_masks="rle" — O(box area) instead of a full canvas per
+    #: detection (the eval/serve path; full canvases at val2017 scale are
+    #: ~30 GB live and dominate results-construction wall time).
+    rle: dict | None = None
 
 
 class MaskRCNNDetector:
@@ -110,9 +115,13 @@ class MaskRCNNDetector:
     # --- host decode -------------------------------------------------------
 
     def detect_images(self, images: Sequence[np.ndarray],
-                      paste_masks: bool = True,
+                      paste_masks: bool | str = True,
                       batch_size: int | None = None) -> list[list[Detection]]:
         """Arbitrary-size RGB uint8 images -> per-image decoded detections.
+
+        `paste_masks`: True -> full-canvas boolean masks (demo/render);
+        "rle" -> COCO RLE dicts only, O(box area) per detection (eval/
+        serve); False -> boxes only.
 
         `batch_size` pads the final chunk so only ONE jit program is compiled
         per configured size (None = one batch of len(images))."""
@@ -132,7 +141,7 @@ class MaskRCNNDetector:
 
     def detect_canvases(self, canvases: Sequence[np.ndarray],
                         windows: Sequence[LetterboxWindow],
-                        paste_masks: bool = True,
+                        paste_masks: bool | str = True,
                         batch_size: int | None = None
                         ) -> list[list[Detection]]:
         """Pre-letterboxed (S, S, 3) float32 canvases (e.g. from
@@ -158,7 +167,7 @@ class MaskRCNNDetector:
 
     def unmold(self, detections: np.ndarray, masks: np.ndarray,
                valid: np.ndarray, win: LetterboxWindow,
-               paste_masks: bool = True) -> list[Detection]:
+               paste_masks: bool | str = True) -> list[Detection]:
         """Map padded normalized outputs back to original image space.
 
         Inverse of the letterbox: normalized canvas coords -> canvas pixels
@@ -187,14 +196,66 @@ class MaskRCNNDetector:
             ox1 = float(np.clip(ox1, 0, win.orig_width))
             ox2 = float(np.clip(ox2, 0, win.orig_width))
             full = None
-            if paste_masks:
-                full = paste_mask(mask, (oy1, ox1, oy2, ox2),
-                                  (win.orig_height, win.orig_width),
+            rle = None
+            shape = (win.orig_height, win.orig_width)
+            if paste_masks == "rle":
+                from maskrcnn_tpu.evalkit import mask_rle as M
+                region, ry, rx = paste_mask_region(
+                    mask, (oy1, ox1, oy2, ox2), shape, self.mask_threshold)
+                r = M.encode_region(region, ry, rx, *shape)
+                rle = {"size": [shape[0], shape[1]],
+                       "counts": M.to_coco_counts(r)}
+            elif paste_masks:
+                full = paste_mask(mask, (oy1, ox1, oy2, ox2), shape,
                                   self.mask_threshold)
             results.append(Detection(
                 box=(oy1, ox1, oy2, ox2),
-                class_id=int(class_id), score=float(score), mask=full))
+                class_id=int(class_id), score=float(score), mask=full,
+                rle=rle))
         return results
+
+
+def paste_window(box, image_shape) -> tuple[int, int, int, int]:
+    """The clipped integer rectangle the paste writes: (yy1, xx1, yy2, xx2),
+    with the same nearbyint/max/min arithmetic as the native core."""
+    oy1, ox1, oy2, ox2 = box
+    y0, x0 = int(np.rint(oy1)), int(np.rint(ox1))
+    bh = max(int(np.rint(oy2)) - y0, 1)
+    bw = max(int(np.rint(ox2)) - x0, 1)
+    return (max(y0, 0), max(x0, 0),
+            min(y0 + bh, image_shape[0]), min(x0 + bw, image_shape[1]))
+
+
+def paste_mask_region(mask: np.ndarray, box, image_shape,
+                      threshold: float = 0.5
+                      ) -> tuple[np.ndarray, int, int]:
+    """Like `paste_mask` but returns only the clipped box region:
+    ((yy2-yy1, xx2-xx1) bool, yy1, xx1). The canvas is zero everywhere
+    else, so consumers (RLE encode via `mask_rle.encode_region`) never
+    materialize or scan the full image — O(box area) per detection."""
+    yy1, xx1, yy2, xx2 = paste_window(box, image_shape)
+    if yy1 >= yy2 or xx1 >= xx2:
+        return np.zeros((0, 0), bool), yy1, xx1
+
+    from maskrcnn_tpu.native import get_imageio_lib
+
+    lib = get_imageio_lib()
+    if lib is not None:
+        import ctypes
+
+        m = np.ascontiguousarray(mask, np.float32)
+        region = np.empty((yy2 - yy1, xx2 - xx1), np.uint8)
+        rc = lib.img_paste_mask_region(
+            m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), m.shape[0],
+            float(box[0]), float(box[1]), float(box[2]), float(box[3]),
+            image_shape[0], image_shape[1], float(threshold),
+            region.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            xx2 - xx1)
+        if rc == 0:
+            return region.view(bool), yy1, xx1
+
+    full = paste_mask(mask, box, image_shape, threshold)
+    return full[yy1:yy2, xx1:xx2], yy1, xx1
 
 
 def paste_mask(mask: np.ndarray, box, image_shape, threshold: float = 0.5

@@ -13,7 +13,7 @@ Endpoints:
   POST /detect            -> image bytes (anything PIL opens) in the body;
                              JSON response with boxes in source-image pixel
                              coordinates, class ids, scores, and each mask
-                             as COCO-style RLE (counts list, column-major —
+                             as COCO-style compressed RLE (column-major —
                              decode with evalkit.mask_rle or pycocotools).
 
 Stdlib-only (http.server + threading): no service dependencies, works in
@@ -86,8 +86,10 @@ class BatchingWorker:
                 except queue.Empty:
                     break
             try:
+                # "rle": O(box area) region paste+encode per detection; the
+                # response carries RLE anyway, so full canvases are waste
                 results = self.detector.detect_images(
-                    [p.image for p in batch], paste_masks=True,
+                    [p.image for p in batch], paste_masks="rle",
                     batch_size=self.max_batch)
                 for p, r in zip(batch, results):
                     p.result = r
@@ -102,7 +104,7 @@ class BatchingWorker:
 
 def _detections_to_json(dets, num_classes: int = 81) -> dict:
     from maskrcnn_tpu.core.coco_names import class_name
-    from maskrcnn_tpu.evalkit.mask_rle import encode
+    from maskrcnn_tpu.evalkit.mask_rle import encode, to_coco_counts
 
     out = []
     for d in dets:
@@ -113,10 +115,12 @@ def _detections_to_json(dets, num_classes: int = 81) -> dict:
             "score": float(d.score),
             "box_yxyx": [float(v) for v in d.box],
         }
-        if d.mask is not None:
+        if d.rle is not None:
+            row["mask_rle"] = d.rle
+        elif d.mask is not None:
             rle = encode(np.asarray(d.mask, np.uint8))
             row["mask_rle"] = {"size": [rle.h, rle.w],
-                               "counts": [int(c) for c in rle.counts]}
+                               "counts": to_coco_counts(rle)}
         out.append(row)
     return {"detections": out}
 

@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from maskrcnn_tpu.core.config import tiny_test_config
-from maskrcnn_tpu.evalkit.mask_rle import RLE, decode
+from maskrcnn_tpu.evalkit.mask_rle import RLE, decode, from_coco_counts
 from maskrcnn_tpu.pipeline.detector import MaskRCNNDetector
 from maskrcnn_tpu.pipeline.serve import make_server
 
@@ -70,10 +70,11 @@ def test_detect_json_contract(server):
     assert d["class_id"] >= 1 and 0.0 < d["score"] <= 1.0
     y1, x1, y2, x2 = d["box_yxyx"]
     assert 0 <= y1 <= y2 <= s and 0 <= x1 <= x2 <= s
-    # RLE round-trips to a mask of the source-image size.
+    # Compressed COCO RLE round-trips to a mask of the source-image size.
     rle = d["mask_rle"]
-    mask = decode(RLE(rle["size"][0], rle["size"][1],
-                      np.asarray(rle["counts"], np.uint32)))
+    assert isinstance(rle["counts"], str)
+    mask = decode(from_coco_counts(rle["counts"],
+                                   rle["size"][0], rle["size"][1]))
     assert mask.shape == (s, s)
     assert mask.sum() > 0
 
