@@ -2,9 +2,9 @@
 
 The proof tool's synthetic COCO dataset must be a valid training/eval
 input: COCO-schema files, polygon segmentations consistent with their
-bboxes/areas, val2017 a byte-identical subset of train2017, and drawn
-pixels that actually contain the annotated shapes (the loader rasterizes
-the polygons; the renderer drew them — they must agree).
+bboxes/areas, val2017 DISJOINT from train2017 (r3: fresh scenes, not a
+subset), and drawn pixels that actually contain the annotated shapes (the
+loader rasterizes the polygons; the renderer drew them — they must agree).
 """
 
 import json
@@ -33,18 +33,22 @@ def test_coco_schema_and_split(dataset):
     assert len(train["images"]) == 4
     assert len(val["images"]) == 2
     assert {c["id"] for c in train["categories"]} == {1, 2, 3, 4}
-    # val is a subset of train: same image records, same annotations
-    assert val["images"] == train["images"][:2]
+    # val is DISJOINT from train: no shared image ids or annotations
+    train_ids = {im["id"] for im in train["images"]}
     val_ids = {im["id"] for im in val["images"]}
-    assert val["annotations"] == [
-        a for a in train["annotations"] if a["image_id"] in val_ids]
-    # files exist in both splits and are identical bytes
+    assert not (train_ids & val_ids)
+    assert {a["image_id"] for a in train["annotations"]} <= train_ids
+    assert {a["image_id"] for a in val["annotations"]} <= val_ids
+    assert len(val["annotations"]) >= 2  # 2-4 shapes per image
+    # each split's files exist only in its own directory
     for im in val["images"]:
-        t = open(os.path.join(ann_dir, "train2017", im["file_name"]),
-                 "rb").read()
-        v = open(os.path.join(ann_dir, "val2017", im["file_name"]),
-                 "rb").read()
-        assert t == v and len(t) > 0
+        v = os.path.join(ann_dir, "val2017", im["file_name"])
+        assert os.path.getsize(v) > 0
+        assert not os.path.exists(
+            os.path.join(ann_dir, "train2017", im["file_name"]))
+    for im in train["images"]:
+        assert os.path.getsize(
+            os.path.join(ann_dir, "train2017", im["file_name"])) > 0
 
 
 def test_annotation_geometry(dataset):

@@ -11,15 +11,26 @@ actually cost a deployment, complementing the adversarial random-weights
 deltas in docs/parity_flagship.json.
 
 The dataset is synthetic (PIL-drawn colored shapes with polygon
-segmentations, 4 categories) and the val split IS a subset of train — this
-is a memorization proof of the machinery at flagship scale, not a
-generalization claim. Reference analog: the train->evaluate loop the
-reference stubs out entirely (`TrainCommand.swift:10-14`) plus its eval
-harness (`EvaluateCommand.swift:159-194`).
+segmentations, 4 categories); the val split is DISJOINT from train (fresh
+scenes from the same distribution — VERDICT r2 weak #2 called out the r02
+subset-of-train val). Still a proof of the machinery at flagship scale on
+synthetic data, not a natural-image claim. Reference analog: the
+train->evaluate loop the reference stubs out entirely
+(`TrainCommand.swift:10-14`) plus its eval harness
+(`EvaluateCommand.swift:159-194`).
 
-Usage (TPU, ~25 min: ~12 min train + 2 compiles + eval):
+Beyond the AP tables, the report carries PER-DETECTION cross-mode deltas
+(production vs exact vs TF oracle on the same trained weights): matched
+box L-inf, score absdiff, pairwise mask IoU histogram, and each
+detection's best same-class GT segm IoU per mode with 0.5/0.75-crossing
+counts — the statistics that attribute any segm AP spread to a named
+cause (mask-threshold jitter shows up as high pairwise mask IoU with a
+few GT-IoU threshold crossings).
+
+Usage (TPU, ~45 min at 64 val images: ~12 min train + compiles + eval +
+CPU TF oracle):
   PYTHONPATH=/root/repo:/root/.axon_site python tools/flagship_proof.py \
-      --root /tmp/flagship_proof --out docs/flagship_proof_r02.json
+      --root /tmp/flagship_proof --out docs/flagship_proof_r03.json
   ... --skip-train      # reuse an existing trained checkpoint
   ... --tf-oracle       # also score the TF oracle on the val images
 """
@@ -75,7 +86,8 @@ def _poly_area(poly):
 
 def make_dataset(root, n_train, n_val, size, seed=0):
     """PIL-drawn scenes: 2-4 non-overlapping colored shapes on a textured
-    background; val2017 is the first `n_val` train images (memorization)."""
+    background. val2017 is images n_train+1 .. n_train+n_val — DISJOINT
+    from train (same generator, fresh draws)."""
     from PIL import Image, ImageDraw
 
     rng = np.random.default_rng(seed)
@@ -86,7 +98,7 @@ def make_dataset(root, n_train, n_val, size, seed=0):
 
     images, anns = [], []
     ann_id = 1
-    for img_id in range(1, n_train + 1):
+    for img_id in range(1, n_train + n_val + 1):
         bg = rng.integers(150, 200, (size, size, 3), dtype=np.uint8)
         bg += rng.integers(0, 12, (size, size, 3), dtype=np.uint8)
         im = Image.fromarray(bg)
@@ -121,16 +133,18 @@ def make_dataset(root, n_train, n_val, size, seed=0):
                          "iscrowd": 0})
             ann_id += 1
         fname = f"{img_id:012d}.jpg"
-        im.save(os.path.join(img_dir_t, fname), quality=92)
-        if img_id <= n_val:
+        if img_id <= n_train:
+            im.save(os.path.join(img_dir_t, fname), quality=92)
+        else:
             im.save(os.path.join(img_dir_v, fname), quality=92)
         images.append({"id": img_id, "width": size, "height": size,
                        "file_name": fname})
 
-    train = {"images": images, "annotations": anns,
+    train = {"images": images[:n_train],
+             "annotations": [a for a in anns if a["image_id"] <= n_train],
              "categories": CATEGORIES}
-    val = {"images": images[:n_val],
-           "annotations": [a for a in anns if a["image_id"] <= n_val],
+    val = {"images": images[n_train:],
+           "annotations": [a for a in anns if a["image_id"] > n_train],
            "categories": CATEGORIES}
     ann_dir = os.path.join(root, "data/coco")
     with open(os.path.join(ann_dir, "instances_train2017.json"), "w") as f:
@@ -163,13 +177,125 @@ def score(root, results_json, n_val):
     return out
 
 
+def _box_iou_xywh(a, b):
+    ax0, ay0, aw, ah = a
+    bx0, by0, bw, bh = b
+    ix = max(0.0, min(ax0 + aw, bx0 + bw) - max(ax0, bx0))
+    iy = max(0.0, min(ay0 + ah, by0 + bh) - max(ay0, by0))
+    inter = ix * iy
+    union = aw * ah + bw * bh - inter
+    return inter / union if union > 0 else 0.0
+
+
+def cross_mode_deltas(root, results_by_mode, n_val):
+    """Per-detection deltas between modes on the SAME trained weights.
+
+    For every mode pair: greedy same-class box-IoU>=0.5 matching per image,
+    then matched box L-inf (px), score absdiff, pairwise MASK IoU histogram;
+    plus, per mode, each detection's best same-class GT segm IoU and the
+    number of matched pairs whose GT IoU crosses the 0.5 / 0.75 protocol
+    thresholds between modes (the detections that actually move AP50/AP75
+    — if the histogram is tight and crossings are few, a segm AP spread is
+    threshold jitter on a handful of masks, not mask-path divergence)."""
+    from maskrcnn_tpu.evalkit import mask_rle as M
+    from maskrcnn_tpu.evalkit.coco import COCODataset
+    from maskrcnn_tpu.evalkit.results import load_coco_results
+
+    ds = COCODataset.from_dir(os.path.join(root, "data/coco"), "val", "2017")
+
+    def prep(path):
+        rows = load_coco_results(path)
+        by_img = {}
+        for r in rows:
+            im = ds.images[int(r["image_id"])]
+            rle = M.from_coco_segmentation(r["segmentation"], im.height,
+                                           im.width)
+            # best same-class GT segm IoU (crowd-free synthetic data)
+            best = 0.0
+            for g in ds.annotations_for(int(r["image_id"])):
+                if g["category_id"] != r["category_id"]:
+                    continue
+                g_rle = M.from_coco_segmentation(g["segmentation"],
+                                                 im.height, im.width)
+                best = max(best, float(M.iou_masks([rle], [g_rle],
+                                                   [False])[0, 0]))
+            r["_rle"], r["_gt_iou"] = rle, best
+            by_img.setdefault(int(r["image_id"]), []).append(r)
+        return by_img
+
+    prepped = {m: prep(p) for m, p in results_by_mode.items()}
+    out = {}
+    names = list(prepped)
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a_name, b_name = names[i], names[j]
+            pair_mask_ious, pair_box_linf, pair_score_d = [], [], []
+            gt_cross_05, gt_cross_075 = 0, 0
+            n_a = n_b = n_matched = 0
+            for img_id in sorted(set(prepped[a_name]) |
+                                 set(prepped[b_name])):
+                da = prepped[a_name].get(img_id, [])
+                db = prepped[b_name].get(img_id, [])
+                n_a += len(da)
+                n_b += len(db)
+                cand = []
+                for ai, ra in enumerate(da):
+                    for bi, rb in enumerate(db):
+                        if ra["category_id"] != rb["category_id"]:
+                            continue
+                        iou = _box_iou_xywh(ra["bbox"], rb["bbox"])
+                        if iou >= 0.5:
+                            cand.append((iou, ai, bi))
+                used_a, used_b = set(), set()
+                for iou, ai, bi in sorted(cand, reverse=True):
+                    if ai in used_a or bi in used_b:
+                        continue
+                    used_a.add(ai)
+                    used_b.add(bi)
+                    n_matched += 1
+                    ra, rb = da[ai], db[bi]
+                    pair_box_linf.append(max(
+                        abs(x - y) for x, y in zip(ra["bbox"], rb["bbox"])))
+                    pair_score_d.append(abs(ra["score"] - rb["score"]))
+                    pair_mask_ious.append(float(M.iou_masks(
+                        [ra["_rle"]], [rb["_rle"]], [False])[0, 0]))
+                    if (ra["_gt_iou"] >= 0.5) != (rb["_gt_iou"] >= 0.5):
+                        gt_cross_05 += 1
+                    if (ra["_gt_iou"] >= 0.75) != (rb["_gt_iou"] >= 0.75):
+                        gt_cross_075 += 1
+            mi = np.asarray(pair_mask_ious)
+            buckets = [0.0, 0.5, 0.8, 0.9, 0.95, 0.99, 1.0 + 1e-9]
+            hist = np.histogram(mi, buckets)[0].tolist() if mi.size else []
+            out[f"{a_name}_vs_{b_name}"] = {
+                "n_detections": [n_a, n_b],
+                "n_matched": n_matched,
+                "box_linf_px_mean": (float(np.mean(pair_box_linf))
+                                     if pair_box_linf else None),
+                "box_linf_px_max": (float(np.max(pair_box_linf))
+                                    if pair_box_linf else None),
+                "score_absdiff_max": (float(np.max(pair_score_d))
+                                      if pair_score_d else None),
+                "pairwise_mask_iou_mean": (float(mi.mean())
+                                           if mi.size else None),
+                "pairwise_mask_iou_min": (float(mi.min())
+                                          if mi.size else None),
+                "pairwise_mask_iou_hist": {
+                    "buckets": "[0,.5) [.5,.8) [.8,.9) [.9,.95) "
+                               "[.95,.99) [.99,1]",
+                    "counts": hist},
+                "gt_iou_crossings_at_0.5": gt_cross_05,
+                "gt_iou_crossings_at_0.75": gt_cross_075,
+            }
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/flagship_proof")
     ap.add_argument("--arch", default="resnet101")
     ap.add_argument("--image-size", type=int, default=1024)
     ap.add_argument("--train-images", type=int, default=32)
-    ap.add_argument("--val-images", type=int, default=8)
+    ap.add_argument("--val-images", type=int, default=64)
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--eval-batch", type=int, default=8)
@@ -178,7 +304,7 @@ def main() -> int:
     ap.add_argument("--tf-oracle", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="shrink proposal/ROI counts (CPU smoke test)")
-    ap.add_argument("--out", default="docs/flagship_proof_r02.json")
+    ap.add_argument("--out", default="docs/flagship_proof_r03.json")
     args = ap.parse_args()
 
     from maskrcnn_tpu.cli.main import main as cli
@@ -258,6 +384,25 @@ def main() -> int:
         t: round(report["production"][t]["AP"]
                  - report["exact_fp32"][t]["AP"], 4)
         for t in ("bbox", "segm")}
+
+    # per-detection cross-mode deltas (VERDICT r2 weak #2: statistics, not
+    # adjectives, for the segm spread)
+    results_by_mode = {
+        "production": os.path.join(root, "results_production/results.json"),
+        "exact_fp32": os.path.join(root, "results_exact_fp32/results.json"),
+    }
+    tf_json = os.path.join(root, "results_production/results_tf.json")
+    if os.path.exists(tf_json):
+        results_by_mode["tf_oracle"] = tf_json
+    results_by_mode = {m: p for m, p in results_by_mode.items()
+                       if os.path.exists(p)}
+    if len(results_by_mode) >= 2:
+        report["cross_mode_deltas"] = cross_mode_deltas(
+            root, results_by_mode, args.val_images)
+        for k, v in report["cross_mode_deltas"].items():
+            print(f"# {k}: matched {v['n_matched']}, mask IoU mean "
+                  f"{v['pairwise_mask_iou_mean']}, GT-IoU 0.5 crossings "
+                  f"{v['gt_iou_crossings_at_0.5']}", file=sys.stderr)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     print(f"# wrote {args.out}", file=sys.stderr)
