@@ -106,11 +106,14 @@ def cmd_convert(args) -> int:
     print(f"# loaded {len(loaded)} layers in {time.time()-t0:.1f}s "
           f"({len(unused)} unused, {len(missing)} missing)", file=sys.stderr)
 
-    save_npz_checkpoint(params, os.path.join(out_dir, "checkpoint.npz"))
+    ckpt_dtype = np.float16 if getattr(args, "fp16", False) else np.float32
+    save_npz_checkpoint(params, os.path.join(out_dir, "checkpoint.npz"),
+                        dtype=ckpt_dtype)
     anchors = generate_anchors(config)
     save_anchors_bin(anchors, os.path.join(out_dir, "anchors.bin"))
     config.to_json(os.path.join(out_dir, "config.json"))
-    print(f"products written to {out_dir}: checkpoint.npz, anchors.bin "
+    print(f"products written to {out_dir}: checkpoint.npz"
+          f"{' (fp16)' if ckpt_dtype is np.float16 else ''}, anchors.bin "
           f"({anchors.shape[0]} anchors), config.json")
     return 0
 
@@ -599,6 +602,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--weights")
     c.add_argument("--output_dir")
     c.add_argument("--allow-missing", action="store_true")
+    c.add_argument("--fp16", action="store_true",
+                   help="store checkpoint weights as float16 (the "
+                        "reference fp16-quantizes all three converted "
+                        "models); upcast to f32 at load")
     c.set_defaults(fn=cmd_convert)
 
     e = sub.add_parser("evaluate", help="COCO evaluation (bbox + mask AP)")

@@ -131,9 +131,18 @@ def load_mask_rcnn_weights(init_params, h5_path: str, *, strict: bool = True):
 # Converted-checkpoint cache (.npz): the `convert` CLI artifact.
 # ---------------------------------------------------------------------------
 
-def save_npz_checkpoint(params: Mapping[str, Any], path: str) -> None:
+def save_npz_checkpoint(params: Mapping[str, Any], path: str,
+                        dtype=np.float32) -> None:
+    """Write the flat {layer/weight: array} product checkpoint.
+
+    `dtype=np.float16` is the analog of the reference's fp16 weight
+    quantization of all three converted models
+    (`Conversion/task.py:90,102,114`) — it halves the artifact; weights
+    are upcast back to float32 at load time (compute runs in the
+    configured policy dtype either way).
+    """
     flat = {
-        f"{layer}/{w}": np.asarray(v, np.float32)
+        f"{layer}/{w}": np.asarray(v, dtype)
         for layer, weights in params.items() for w, v in weights.items()
     }
     tmp = path + ".tmp"
@@ -146,7 +155,10 @@ def load_npz_checkpoint(path: str) -> dict[str, dict[str, np.ndarray]]:
     with np.load(path) as data:
         for key in data.files:
             layer, w = key.rsplit("/", 1)
-            out.setdefault(layer, {})[w] = data[key]
+            arr = data[key]
+            if arr.dtype == np.float16:  # fp16-quantized product
+                arr = arr.astype(np.float32)
+            out.setdefault(layer, {})[w] = arr
     return out
 
 

@@ -110,6 +110,25 @@ def test_npz_cache_roundtrip(params, tmp_path):
     _tree_equal(params, merged)
 
 
+def test_npz_fp16_quantized_roundtrip(params, tmp_path):
+    """fp16 product quantization (the reference quantizes all three
+    converted models to fp16, `Conversion/task.py:90,102,114`): halves
+    the artifact, loads back as float32 within fp16 rounding."""
+    import os
+
+    p32 = str(tmp_path / "ckpt32.npz")
+    p16 = str(tmp_path / "ckpt16.npz")
+    save_npz_checkpoint(params, p32)
+    save_npz_checkpoint(params, p16, dtype=np.float16)
+    assert os.path.getsize(p16) < 0.6 * os.path.getsize(p32)
+    loaded = load_npz_checkpoint(p16)
+    for layer, weights in loaded.items():
+        for w, arr in weights.items():
+            assert arr.dtype == np.float32
+            ref = np.asarray(params[layer][w], np.float32)
+            np.testing.assert_allclose(arr, ref, rtol=1e-3, atol=1e-6)
+
+
 def test_load_mask_rcnn_weights_e2e(params, tmp_path):
     p = str(tmp_path / "weights.h5")
     save_h5_weights(params, p)
