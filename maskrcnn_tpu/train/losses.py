@@ -29,11 +29,15 @@ def rpn_class_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return _mean_over(nll, labels != 0)
 
 
-def rpn_bbox_loss(pred: jnp.ndarray, target: jnp.ndarray,
-                  labels: jnp.ndarray) -> jnp.ndarray:
-    """(A, 4) predicted deltas vs targets, on positive anchors only."""
-    per = jnp.sum(smooth_l1(pred.astype(jnp.float32) - target), axis=-1)
-    return _mean_over(per, labels == 1)
+def rpn_bbox_loss(pred: jnp.ndarray, pos_deltas: jnp.ndarray,
+                  pos_idx: jnp.ndarray,
+                  pos_valid: jnp.ndarray) -> jnp.ndarray:
+    """(A, 4) predicted deltas vs (K, 4) targets at the K sampled positive
+    slots (`RPNTargets.pos_idx`) — identical to a mean over labels == 1,
+    but reads only the K rows the loss actually uses."""
+    sel = jnp.take(pred, pos_idx, axis=0).astype(jnp.float32)
+    per = jnp.sum(smooth_l1(sel - pos_deltas), axis=-1)
+    return _mean_over(per, pos_valid)
 
 
 def mrcnn_class_loss(probs_logits: jnp.ndarray, class_ids: jnp.ndarray,

@@ -67,13 +67,14 @@ def compute_losses(params, batch: dict[str, jnp.ndarray],
         functools.partial(
             rpn_targets,
             train_anchors=config.rpn_train_anchors_per_image,
-            bbox_std_dev=config.bbox_std_dev),
+            bbox_std_dev=config.bbox_std_dev,
+            sampling_topk=config.train_sampling_topk),
         in_axes=(None, 0, 0, 0))(
         anchors, batch["gt_boxes"], batch["gt_class_ids"], keys[:, 0])
 
     loss_rpn_cls = jax.vmap(L.rpn_class_loss)(rpn_logits, rpn_t.labels).mean()
     loss_rpn_box = jax.vmap(L.rpn_bbox_loss)(
-        rpn_deltas, rpn_t.deltas, rpn_t.labels).mean()
+        rpn_deltas, rpn_t.pos_deltas, rpn_t.pos_idx, rpn_t.pos_valid).mean()
 
     # --- proposals (no gradient through NMS/decode, as in Matterport) -----
     fg = jax.nn.softmax(rpn_logits, axis=-1)[..., 1]

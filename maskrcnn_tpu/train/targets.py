@@ -48,8 +48,10 @@ def encode_box_deltas(boxes: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
 
 
 class RPNTargets(NamedTuple):
-    labels: jnp.ndarray        # (A,) int32: 1 pos, -1 neg, 0 neutral/unsampled
-    deltas: jnp.ndarray        # (A, 4) fp32 — valid where labels == 1
+    labels: jnp.ndarray      # (A,) int32: 1 pos, -1 neg, 0 neutral/unsampled
+    pos_idx: jnp.ndarray     # (K,) int32 — sampled positive anchor slots
+    pos_valid: jnp.ndarray   # (K,) bool — which pos_idx rows are real
+    pos_deltas: jnp.ndarray  # (K, 4) fp32 — valid where pos_valid
 
 
 def rpn_targets(
@@ -64,6 +66,7 @@ def rpn_targets(
     neg_iou: float = 0.3,
     crowd_iou: float = 0.001,
     bbox_std_dev=(0.1, 0.1, 0.2, 0.2),
+    sampling_topk: str = "approx",
 ) -> RPNTargets:
     """Label anchors against GT and subsample a balanced training set.
 
@@ -74,6 +77,14 @@ def rpn_targets(
     `train_anchors * positive_fraction` positives are kept and negatives
     back-fill to the full `train_anchors` quota when positives are scarce;
     unsampled anchors get label 0.
+
+    Box-delta targets are materialized ONLY at the K = train_anchors ×
+    positive_fraction sampled positive slots (`pos_idx`/`pos_deltas`), not
+    for all A anchors: the bbox loss never reads the other A − K rows, and
+    the full-A matched-GT gather + encode they'd require measured 75% of
+    this stage's cost at A = 262k (per-index-bound gather, ~14 ns × 262k —
+    docs/rpn_targets_probe_r03.json). `sampling_topk` selects the
+    subsample ranking kernel (see `MaskRCNNConfig.train_sampling_topk`).
     """
     a = anchors.shape[0]
     full_iou = box_iou(anchors, gt_boxes)  # (A, G)
@@ -103,21 +114,29 @@ def rpn_targets(
 
     pos_score = jnp.where(pos, rand_p, -1.0)
     neg_score = jnp.where(neg, rand_n, -1.0)
-    _, pos_idx = jax.lax.top_k(pos_score, min(k_pos, a))
+    select = (jax.lax.top_k if sampling_topk == "exact"
+              else jax.lax.approx_max_k)
+    _, pos_idx = select(pos_score, min(k_pos, a))
     pos_sampled = jnp.zeros((a,), jnp.bool_).at[pos_idx].set(True) & pos
     n_pos = jnp.sum(pos_sampled.astype(jnp.int32))
 
     k_neg_max = min(train_anchors, a)
-    _, neg_idx = jax.lax.top_k(neg_score, k_neg_max)
+    _, neg_idx = select(neg_score, k_neg_max)
     take = jnp.arange(k_neg_max) < (train_anchors - n_pos)
     neg_sampled = jnp.zeros((a,), jnp.bool_).at[neg_idx].set(take) & neg
 
     labels = jnp.where(pos_sampled, 1, jnp.where(neg_sampled, -1, 0))
 
-    matched = jnp.take(gt_boxes, argmax_gt, axis=0)  # (A, 4)
+    # Deltas at the sampled positive slots only (see docstring): K-row
+    # gathers instead of an A-row gather + A-row encode.
+    pos_valid = jnp.take(pos_sampled, pos_idx)
+    sel_anchors = jnp.take(anchors, pos_idx, axis=0)
+    sel_gt = jnp.take(gt_boxes, jnp.take(argmax_gt, pos_idx), axis=0)
     std = jnp.asarray(bbox_std_dev, jnp.float32)
-    deltas = encode_box_deltas(anchors, matched) / std
-    return RPNTargets(labels.astype(jnp.int32), deltas.astype(jnp.float32))
+    pos_deltas = encode_box_deltas(sel_anchors, sel_gt) / std
+    pos_deltas = pos_deltas * pos_valid[:, None]
+    return RPNTargets(labels.astype(jnp.int32), pos_idx.astype(jnp.int32),
+                      pos_valid, pos_deltas.astype(jnp.float32))
 
 
 class ProposalTargets(NamedTuple):

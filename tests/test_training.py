@@ -49,14 +49,73 @@ def test_rpn_targets_sanity(rng):
     assert n_pos <= cfg.rpn_train_anchors_per_image // 2
     # negatives back-fill to the full quota (Matterport semantics)
     assert n_pos + n_neg == cfg.rpn_train_anchors_per_image
+    # the sampled-positive slots agree with the labels
+    pos_valid = np.asarray(t.pos_valid)
+    pos_idx = np.asarray(t.pos_idx)
+    assert set(pos_idx[pos_valid]) == set(np.where(labels == 1)[0])
+    assert pos_valid.sum() == n_pos
     # positive anchors decode onto their GT within tolerance
-    pos_idx = np.where(labels == 1)[0][:8]
     std = jnp.asarray(cfg.bbox_std_dev)
-    rec = apply_box_deltas(anchors[pos_idx],
-                           t.deltas[pos_idx] * std)
+    sel = pos_valid.nonzero()[0][:8]
+    rec = apply_box_deltas(anchors[pos_idx[sel]],
+                           t.pos_deltas[sel] * std)
     from maskrcnn_tpu.ops.boxes import box_iou
     iou = np.asarray(box_iou(rec, jnp.asarray(boxes))).max(1)
     assert (iou > 0.99).all()
+    # invalid slots carry zero deltas
+    assert (np.asarray(t.pos_deltas)[~pos_valid] == 0).all()
+
+
+def test_rpn_bbox_loss_equals_full_anchor_formula(rng):
+    """The K-slot rpn_bbox_loss must equal the mean-over-(labels==1) of the
+    naive full-A formulation it replaced."""
+    cfg = tiny_test_config()
+    anchors = jnp.asarray(generate_anchors(cfg))
+    boxes, classes, _ = make_gt(rng)
+    t = rpn_targets(anchors, jnp.asarray(boxes), jnp.asarray(classes),
+                    jax.random.PRNGKey(3),
+                    train_anchors=cfg.rpn_train_anchors_per_image)
+    a = anchors.shape[0]
+    pred = jnp.asarray(rng.normal(0, 0.3, (a, 4)), jnp.float32)
+    fast = float(L.rpn_bbox_loss(pred, t.pos_deltas, t.pos_idx, t.pos_valid))
+    # naive: scatter the K targets back to full-A rows, mask by labels == 1
+    full_t = np.zeros((a, 4), np.float32)
+    full_t[np.asarray(t.pos_idx)[np.asarray(t.pos_valid)]] = \
+        np.asarray(t.pos_deltas)[np.asarray(t.pos_valid)]
+    labels = np.asarray(t.labels)
+    diff = np.asarray(pred) - full_t
+    per = np.where(np.abs(diff) < 1, 0.5 * diff * diff,
+                   np.abs(diff) - 0.5).sum(-1)
+    naive = per[labels == 1].mean()
+    np.testing.assert_allclose(fast, naive, rtol=1e-6)
+
+
+def test_rpn_targets_exact_and_approx_sampling_agree_semantically(rng):
+    """Both sampling kernels must produce a full balanced quota of valid
+    positives+negatives drawn from the eligible sets (the sampled SETS may
+    differ — both are uniform random subsamples)."""
+    cfg = tiny_test_config()
+    anchors = jnp.asarray(generate_anchors(cfg))
+    boxes, classes, _ = make_gt(rng)
+    outs = {}
+    for mode in ("exact", "approx"):
+        t = rpn_targets(anchors, jnp.asarray(boxes), jnp.asarray(classes),
+                        jax.random.PRNGKey(0),
+                        train_anchors=cfg.rpn_train_anchors_per_image,
+                        sampling_topk=mode)
+        outs[mode] = np.asarray(t.labels)
+    for mode, labels in outs.items():
+        n_pos, n_neg = (labels == 1).sum(), (labels == -1).sum()
+        assert n_pos + n_neg == cfg.rpn_train_anchors_per_image, mode
+        assert n_pos >= 1, mode
+    # eligibility must be identical: every anchor either sampler marked
+    # positive must be positive-eligible under the other's label map too
+    # (positives are threshold-determined, only the subsample is random)
+    exact_pos_set = set(np.where(outs["exact"] == 1)[0])
+    approx_pos_set = set(np.where(outs["approx"] == 1)[0])
+    # when fewer eligible positives exist than the quota, both keep all
+    if len(exact_pos_set) < cfg.rpn_train_anchors_per_image // 2:
+        assert exact_pos_set == approx_pos_set
 
 
 def test_proposal_targets_sanity(rng):
@@ -187,6 +246,45 @@ def test_proposal_targets_crowd_excluded(rng):
     for slot in range(len(ok)):
         if ok[slot] and not np.asarray(t.positive)[slot]:
             assert not np.allclose(rois[slot], boxes[0], atol=1e-5)
+
+
+def test_fused_sgd_matches_optax(rng):
+    """tools/opt_probe.py's flat-vector optimizer must reproduce the optax
+    chain exactly (it measured SLOWER on-chip — docs/opt_probe_r03.json,
+    negative result — but stays as the documented A/B arm)."""
+    import optax
+    from maskrcnn_tpu.train.fused_sgd import fused_sgd_init, fused_sgd_step
+    from maskrcnn_tpu.train.step import make_optimizer
+
+    cfg = tiny_test_config()
+    params = {
+        "conv1": {"kernel": jnp.asarray(rng.normal(size=(3, 3, 4, 8)),
+                                        jnp.float32),
+                  "bias": jnp.asarray(rng.normal(size=(8,)), jnp.float32)},
+        "rpn_conv_shared": {"kernel": jnp.asarray(
+            rng.normal(size=(1, 1, 8, 8)), jnp.float32)},
+    }
+    grads = jax.tree.map(
+        lambda p: jnp.asarray(rng.normal(size=p.shape), jnp.float32) * 10,
+        params)
+    for trainable in ("all", "heads"):
+        tx, mask_fn = make_optimizer(cfg, trainable)
+        s_tree = tx.init(params)
+        p_tree = p_flat = params
+        fstate = fused_sgd_init(params, cfg, trainable)
+        for _ in range(3):
+            mask = mask_fn(p_tree)
+            g = jax.tree.map(
+                lambda gg, m: gg * jnp.asarray(m, gg.dtype), grads, mask)
+            up, s_tree = tx.update(g, s_tree, p_tree)
+            p_tree = optax.apply_updates(p_tree, up)
+            p_flat, fstate = fused_sgd_step(
+                p_flat, grads, fstate, lr=cfg.learning_rate,
+                weight_decay=cfg.weight_decay)
+        for a, b in zip(jax.tree_util.tree_leaves(p_tree),
+                        jax.tree_util.tree_leaves(p_flat)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7)
 
 
 @pytest.mark.slow
