@@ -157,8 +157,11 @@ def make_optimizer(config: MaskRCNNConfig, trainable: str = "all"):
     """SGD+momentum with decoupled weight decay on kernels and a layer-name
     trainability mask (Matterport's layer-regex freezing)."""
     pattern = re.compile(FREEZE_PRESETS.get(trainable, trainable))
+    freeze_nothing = trainable == "all"
 
     def trainable_mask(params):
+        if freeze_nothing:
+            return None  # train_step skips the 690-leaf grad multiply
         return {
             layer: {w: bool(pattern.fullmatch(layer)) for w in weights}
             for layer, weights in params.items()
@@ -201,8 +204,9 @@ def train_step(state: TrainState, batch, anchors, key,
     (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params)
     mask = mask_fn(state.params)
-    grads = jax.tree.map(
-        lambda g, m: g * jnp.asarray(m, g.dtype), grads, mask)
+    if mask is not None:
+        grads = jax.tree.map(
+            lambda g, m: g * jnp.asarray(m, g.dtype), grads, mask)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), metrics

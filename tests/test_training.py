@@ -274,7 +274,7 @@ def test_fused_sgd_matches_optax(rng):
         fstate = fused_sgd_init(params, cfg, trainable)
         for _ in range(3):
             mask = mask_fn(p_tree)
-            g = jax.tree.map(
+            g = grads if mask is None else jax.tree.map(
                 lambda gg, m: gg * jnp.asarray(m, gg.dtype), grads, mask)
             up, s_tree = tx.update(g, s_tree, p_tree)
             p_tree = optax.apply_updates(p_tree, up)

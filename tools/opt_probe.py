@@ -74,8 +74,9 @@ def main() -> int:
     @jax.jit
     def optax_step(p, g, s):
         mask = mask_fn(p)
-        g = jax.tree.map(lambda gg, m: gg * jnp.asarray(m, gg.dtype),
-                         g, mask)
+        if mask is not None:
+            g = jax.tree.map(lambda gg, m: gg * jnp.asarray(m, gg.dtype),
+                             g, mask)
         updates, s = tx.update(g, s, p)
         return optax.apply_updates(p, updates), s
 
