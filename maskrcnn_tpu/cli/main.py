@@ -305,6 +305,10 @@ def cmd_train(args) -> int:
     from maskrcnn_tpu.train.step import make_train_state, train_step
 
     config = _load_config(args.config, args.model)
+    if args.exact:
+        config = config.exact_numerics()
+        print("# --exact: float32 compute, exact top-k, table anchors",
+              flush=True)
     if args.synthetic:
         config = config.replace(
             architecture="resnet50",
@@ -668,6 +672,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--flip-prob", type=float, default=0.5,
                    help="horizontal-flip augmentation probability "
                         "(Matterport's Fliplr(0.5); 0 disables)")
+    t.add_argument("--exact", action="store_true",
+                   help="reference-exact numerics in training too: float32"
+                        " compute, exact top-k everywhere (incl. target"
+                        " subsampling), table anchors")
     t.set_defaults(fn=cmd_train)
 
     d = sub.add_parser("download", help="fetch pretrained weights")

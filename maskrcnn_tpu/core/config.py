@@ -141,6 +141,10 @@ class MaskRCNNConfig:
                 f"mask_size ({self.mask_size}) must be 2 * mask_pool_size "
                 f"({self.mask_pool_size}) — the mask head upsamples exactly "
                 "2x (TimeDistributedMaskLayer.swift:26-37 contract)")
+        if self.train_sampling_topk not in ("approx", "exact"):
+            raise ValueError(
+                "train_sampling_topk must be 'approx' or 'exact', got "
+                f"{self.train_sampling_topk!r}")
 
     # --- derived ----------------------------------------------------------
     @property

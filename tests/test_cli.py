@@ -168,6 +168,15 @@ def test_train_synthetic_smoke(workspace):
     assert rc == 0
 
 
+def test_train_exact_smoke(workspace, capsys):
+    # --exact on train: f32 + exact top-k everywhere, incl. the target
+    # subsampling kernel (train_sampling_topk="exact").
+    rc = main(["train", "t", "--synthetic", "--steps", "1", "--batch", "1",
+               "--no-calibrate", "--exact"])
+    assert rc == 0
+    assert "--exact" in capsys.readouterr().out
+
+
 def test_download_fails_cleanly(workspace, capsys):
     # Unresolvable host: clean failure message + exit code 1, no traceback
     # (also keeps this test network-independent).
