@@ -37,6 +37,10 @@ def main() -> int:
                                        "both"), default="config",
                     help="override head-fusion flags (Pallas ROIAlign-fused "
                          "classifier/mask heads) for A/B sweeps")
+    ap.add_argument("--remat", action="store_true",
+                    help="train mode: rematerialize backbone+FPN in the "
+                         "backward pass (config.train_remat_backbone) — "
+                         "for batch-size sweeps past the activation limit")
     args = ap.parse_args()
 
     import jax
@@ -65,6 +69,8 @@ def main() -> int:
         config = config.replace(
             fuse_classifier_head=args.fuse in ("cls", "both"),
             fuse_mask_head=args.fuse in ("mask", "both"))
+    if args.remat:
+        config = config.replace(train_remat_backbone=True)
 
     dev = jax.devices()[0]
     print(f"# bench: {config.architecture} @ "

@@ -122,6 +122,11 @@ class MaskRCNNConfig:
     # semantics stay "uniform balanced subsample"; "exact" restores
     # `lax.top_k` selection.
     train_sampling_topk: str = "approx"
+    # Rematerialize the backbone+FPN in the backward pass (jax.checkpoint):
+    # trades one extra backbone forward (~66 ms at batch 8) for NOT storing
+    # its activations, unlocking larger training batches on a 16 GB chip.
+    # Off by default — batch 8 fits without it (PERF.md training section).
+    train_remat_backbone: bool = False
 
     def __post_init__(self):
         if self.architecture not in _VALID_ARCHITECTURES:

@@ -55,8 +55,11 @@ def compute_losses(params, batch: dict[str, jnp.ndarray],
     bn_ctx = ({"use_batch_stats": True} if config.train_bn == "batch"
               else None)
     x = preprocess(batch["images"], config)
-    pyramid = backbone_fpn(params, x, config, dtype, bn_ctx=bn_ctx,
-                           inference=False)
+    backbone = functools.partial(backbone_fpn, config=config, dtype=dtype,
+                                 bn_ctx=bn_ctx, inference=False)
+    if config.train_remat_backbone:
+        backbone = jax.checkpoint(backbone)
+    pyramid = backbone(params, x)
     rpn_logits, rpn_deltas = rpn_mod.apply_rpn(params, pyramid, dtype=dtype)
 
     gt_valid = batch["gt_class_ids"] > 0
