@@ -346,7 +346,7 @@ def cmd_train(args) -> int:
         loader_obj = COCOTrainLoader(
             args.annotations, args.images_dir, config,
             batch_size=args.batch, seed=args.seed,
-            flip_prob=args.flip_prob)
+            flip_prob=args.flip_prob, cache_images=args.cache_images)
         # one-ahead prefetch: batch t+1 decodes while the device runs step t
         batcher = PrefetchBatcher(loader_obj)
         loader = batcher.get_batch
@@ -376,12 +376,19 @@ def cmd_train(args) -> int:
     key = jax.random.PRNGKey(args.seed + 1)
     t0 = time.time()
     start_step = int(state.step)
-    for step in range(start_step, start_step + args.steps):
+    end_step = start_step + args.steps
+    if args.resume and start_step > 0:
+        # crash-recovery semantics: --steps is the TOTAL budget, so an
+        # interrupted run picks up where it left off and finishes the plan
+        # instead of training N more steps on top
+        end_step = max(args.steps, start_step)
+        print(f"# --resume: continuing to total step {end_step}")
+    for step in range(start_step, end_step):
         key, sub = jax.random.split(key)
         state, metrics = train_step(
             state, loader(step), anchors, sub, config, tx_and_mask)
         if (step % args.log_every == 0
-                or step == start_step + args.steps - 1):
+                or step == end_step - 1):
             m_ = {k: round(float(v), 4) for k, v in metrics.items()}
             print(f"step {step:5d}  {m_}  ({time.time()-t0:.1f}s)")
             mlog.log(step, metrics, time.time() - t0)
@@ -660,7 +667,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip post-training BN statistics calibration")
     t.add_argument("--calibrate-batches", type=int, default=8)
     t.add_argument("--resume", action="store_true",
-                   help="resume from --checkpoint-dir (latest) or --state")
+                   help="resume from --checkpoint-dir (latest) or --state; "
+                        "--steps then counts as the TOTAL budget (finish "
+                        "the plan), not N more steps")
     t.add_argument("--checkpoint-dir",
                    help="directory for periodic ckpt_<step>.msgpack saves")
     t.add_argument("--checkpoint-every", type=int, default=0,
@@ -676,6 +685,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reference-exact numerics in training too: float32"
                         " compute, exact top-k everywhere (incl. target"
                         " subsampling), table anchors")
+    t.add_argument("--cache-images", type=int, default=0,
+                   help="cache up to N decoded pre-flip examples in host "
+                        "RAM (~12.6 MB each at 1024²) — on a slow-decode "
+                        "host, small fine-tuning sets are loader-bound "
+                        "without this; 0 disables")
     t.set_defaults(fn=cmd_train)
 
     d = sub.add_parser("download", help="fetch pretrained weights")

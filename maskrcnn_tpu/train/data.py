@@ -45,18 +45,28 @@ class COCOTrainLoader:
     (Matterport's standard fine-tuning augmentation, Fliplr(0.5)) — the
     canvas, normalized boxes, and mini-masks flip together; mini-masks are
     box-relative, so flipping the mask array alone stays consistent.
+
+    `cache_images`: keep up to N decoded pre-flip examples (letterboxed
+    canvas + padded GT arrays) in host RAM, keyed by image id. Small
+    fine-tuning datasets are re-decoded every epoch otherwise — on a
+    1-core host the JPEG decode + resample (~0.4 s per 1024² image)
+    dominates the whole training step (measured 3.96 s/step vs 0.43 s of
+    device compute on the 32-image flagship proof). ~12.6 MB per cached
+    1024² example (f32 canvas); 0 disables.
     """
 
     def __init__(self, annotations_path: str, images_dir: str,
                  config: MaskRCNNConfig, batch_size: int = 2,
                  max_instances: int = 32, seed: int = 0,
-                 flip_prob: float = 0.5):
+                 flip_prob: float = 0.5, cache_images: int = 0):
         self.dataset = COCODataset.from_file(annotations_path)
         self.images_dir = images_dir
         self.config = config
         self.batch_size = batch_size
         self.max_instances = max_instances
         self.flip_prob = flip_prob
+        self.cache_images = cache_images
+        self._cache: dict[int, tuple] = {}
         self.rng = np.random.default_rng(seed)
         self.image_ids = [
             im.id for im in self.dataset.iter_images()
@@ -65,6 +75,31 @@ class COCOTrainLoader:
             raise ValueError("dataset has no annotated images")
 
     def load_example(self, image_id: int, flip: bool = False):
+        if self.cache_images:
+            raw = self._cache.get(image_id)
+            if raw is None:
+                raw = self._load_raw(image_id)
+                if len(self._cache) < self.cache_images:
+                    self._cache[image_id] = raw
+            # hand out copies — the flip path mutates boxes in place, and
+            # callers own what they get (a ~2 ms memcpy vs a 400 ms decode)
+            canvas, boxes, classes, masks = (a.copy() for a in raw)
+        else:
+            canvas, boxes, classes, masks = self._load_raw(image_id)
+        if flip:
+            canvas = canvas[:, ::-1].copy()
+            # flip every REAL instance (crowds are negative), including
+            # boxes degenerate to <= 1 canvas px — padding rows stay zero
+            real = classes != 0
+            fx1 = 1.0 - boxes[:, 3]
+            fx2 = 1.0 - boxes[:, 1]
+            boxes[real, 1] = fx1[real]
+            boxes[real, 3] = fx2[real]
+            masks = masks[:, :, ::-1].copy()
+        return canvas, boxes, classes, masks
+
+    def _load_raw(self, image_id: int):
+        """Decode + letterbox + GT arrays for one example, no augmentation."""
         from maskrcnn_tpu.pipeline.loader import load_letterboxed
 
         im = self.dataset.images[image_id]
@@ -99,16 +134,6 @@ class COCOTrainLoader:
             if "segmentation" in ann:
                 masks[i] = minimask_from_annotation(
                     ann, im.height, im.width, self.config.mask_size)
-        if flip:
-            canvas = canvas[:, ::-1].copy()
-            # flip every REAL instance (crowds are negative), including
-            # boxes degenerate to <= 1 canvas px — padding rows stay zero
-            real = classes != 0
-            fx1 = 1.0 - boxes[:, 3]
-            fx2 = 1.0 - boxes[:, 1]
-            boxes[real, 1] = fx1[real]
-            boxes[real, 3] = fx2[real]
-            masks = masks[:, :, ::-1].copy()
         return canvas, boxes, classes, masks
 
     def get_batch(self, step: int | None = None) -> dict[str, np.ndarray]:

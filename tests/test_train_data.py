@@ -73,6 +73,28 @@ def test_flip_consistency(coco_dir):
     np.testing.assert_array_equal(b1[1:], 0.0)
 
 
+def test_cache_matches_uncached(coco_dir):
+    """cache_images must change nothing but the decode count: identical
+    batches for identical seeds, cached arrays never aliased to callers."""
+    cfg = tiny_test_config()
+    plain = COCOTrainLoader(*coco_dir, cfg, batch_size=2, seed=7)
+    cached = COCOTrainLoader(*coco_dir, cfg, batch_size=2, seed=7,
+                             cache_images=64)
+    for step in range(4):  # revisits images -> cache hits after pass 1
+        a = plain.get_batch(step)
+        b = cached.get_batch(step)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+    # mutating a returned example must not poison the cache
+    img_id = cached.image_ids[0]
+    c1, b1, _, m1 = cached.load_example(img_id)
+    c1[:] = -1
+    b1[:] = -1
+    m1[:] = -1
+    c2, b2, _, m2 = cached.load_example(img_id)
+    assert (c2 != -1).any() and (b2 != -1).any() and (m2 != -1).any()
+
+
 def test_prefetch_batcher_matches_direct(coco_dir):
     cfg = tiny_test_config()
     mk = lambda: COCOTrainLoader(*coco_dir, cfg, batch_size=2, seed=5)

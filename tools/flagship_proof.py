@@ -340,6 +340,10 @@ def main() -> int:
 
     if not args.skip_train or not os.path.exists(ckpt):
         t0 = time.time()
+        # cache the (small) train set decoded (loader-bound otherwise on
+        # this 1-core host: 3.96 s/step vs 0.43 s device compute), and
+        # checkpoint periodically so an interrupted run resumes instead of
+        # retraining from scratch
         rc = cli(["train", "proof", "--config", cfg_prod,
                   "--annotations",
                   os.path.join(ann_dir, "instances_train2017.json"),
@@ -347,6 +351,9 @@ def main() -> int:
                   "--steps", str(args.steps), "--batch", str(args.batch),
                   "--seed", str(args.seed), "--log-every", "50",
                   "--output", ckpt,
+                  "--cache-images", str(2 * args.train_images),
+                  "--checkpoint-dir", os.path.join(root, "ckpts"),
+                  "--checkpoint-every", "200", "--resume",
                   "--metrics-log", os.path.join(root, "metrics.jsonl")])
         if rc != 0:
             print("train failed", file=sys.stderr)
