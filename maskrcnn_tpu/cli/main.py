@@ -373,7 +373,11 @@ def cmd_train(args) -> int:
                   file=sys.stderr)
 
     mlog = MetricsLogger(args.metrics_log)
-    key = jax.random.PRNGKey(args.seed + 1)
+    # Per-step key = fold_in(base, step): resume-stable — a resumed run's
+    # sampling/augmentation randomness continues exactly where an
+    # uninterrupted run would be, instead of replaying from the seed
+    # (ADVICE r03; the loader's per-step rng is derived the same way).
+    base_key = jax.random.PRNGKey(args.seed + 1)
     t0 = time.time()
     start_step = int(state.step)
     end_step = start_step + args.steps
@@ -383,8 +387,13 @@ def cmd_train(args) -> int:
         # instead of training N more steps on top
         end_step = max(args.steps, start_step)
         print(f"# --resume: continuing to total step {end_step}")
+        if start_step >= end_step:
+            print(f"# WARNING: checkpoint is already at step {start_step} "
+                  f">= --steps {args.steps}; ZERO steps will run. "
+                  f"--steps is the TOTAL budget under --resume — raise it "
+                  f"to train further.", file=sys.stderr)
     for step in range(start_step, end_step):
-        key, sub = jax.random.split(key)
+        sub = jax.random.fold_in(base_key, step)
         state, metrics = train_step(
             state, loader(step), anchors, sub, config, tx_and_mask)
         if (step % args.log_every == 0
@@ -689,7 +698,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cache up to N decoded pre-flip examples in host "
                         "RAM (~12.6 MB each at 1024²) — on a slow-decode "
                         "host, small fine-tuning sets are loader-bound "
-                        "without this; 0 disables")
+                        "without this; 0 disables. No eviction: the FIRST "
+                        "N distinct images seen are pinned, so size it to "
+                        "the whole dataset (partial caching speeds up only "
+                        "an arbitrary first-seen subset)")
     t.set_defaults(fn=cmd_train)
 
     d = sub.add_parser("download", help="fetch pretrained weights")

@@ -116,11 +116,15 @@ class MaskRCNNConfig:
     weight_decay: float = 1e-4
     # Balanced-subsample selection in target assignment: "approx" uses
     # `lax.approx_max_k` over the masked random scores (3.3× faster on the
-    # 262k-anchor ranking, docs/rpn_targets_probe_r03.json). Because the
-    # scores ARE iid uniform random, a recall miss just swaps one uniformly
-    # random winner for another (anchors are exchangeable), so the sampling
-    # semantics stay "uniform balanced subsample"; "exact" restores
-    # `lax.top_k` selection.
+    # 262k-anchor ranking, docs/rpn_targets_probe_r03.json). Among ELIGIBLE
+    # anchors a recall miss just swaps one uniformly random winner for
+    # another (scores are iid uniform, anchors exchangeable) — but when the
+    # eligible-positive count is close to the positive quota, bin
+    # collisions can let a masked (-1) entry into the top-k, so the
+    # sampled positive count may fall slightly below min(k_pos,
+    # n_eligible) with negatives backfilling the quota: a small systematic
+    # positive-undersampling bias, not exact uniform-balanced semantics.
+    # "exact" restores `lax.top_k` selection (and is what --exact sets).
     train_sampling_topk: str = "approx"
     # Rematerialize the backbone+FPN in the backward pass (jax.checkpoint):
     # trades one extra backbone forward (~66 ms at batch 8) for NOT storing

@@ -67,6 +67,7 @@ class COCOTrainLoader:
         self.flip_prob = flip_prob
         self.cache_images = cache_images
         self._cache: dict[int, tuple] = {}
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.image_ids = [
             im.id for im in self.dataset.iter_images()
@@ -137,9 +138,15 @@ class COCOTrainLoader:
         return canvas, boxes, classes, masks
 
     def get_batch(self, step: int | None = None) -> dict[str, np.ndarray]:
-        ids = self.rng.choice(self.image_ids, self.batch_size,
-                              replace=len(self.image_ids) < self.batch_size)
-        flips = self.rng.random(self.batch_size) < self.flip_prob
+        # Batch composition is a pure function of (seed, step): a resumed
+        # run at step S draws exactly the batch an uninterrupted run would
+        # have drawn, instead of replaying the epoch from the start
+        # (ADVICE r03). Stateful fallback only when no step is supplied.
+        rng = (self.rng if step is None
+               else np.random.default_rng((self.seed, step)))
+        ids = rng.choice(self.image_ids, self.batch_size,
+                         replace=len(self.image_ids) < self.batch_size)
+        flips = rng.random(self.batch_size) < self.flip_prob
         images, boxes, classes, masks = [], [], [], []
         for i, flip in zip(ids, flips):
             c, b, cl, m = self.load_example(int(i), flip=bool(flip))

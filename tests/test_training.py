@@ -1,5 +1,8 @@
 """Training subsystem: target assignment oracles, losses, overfit smoke."""
 
+import os
+import sys
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -253,7 +256,8 @@ def test_fused_sgd_matches_optax(rng):
     chain exactly (it measured SLOWER on-chip — docs/opt_probe_r03.json,
     negative result — but stays as the documented A/B arm)."""
     import optax
-    from maskrcnn_tpu.train.fused_sgd import fused_sgd_init, fused_sgd_step
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from fused_sgd import fused_sgd_init, fused_sgd_step
     from maskrcnn_tpu.train.step import make_optimizer
 
     cfg = tiny_test_config()

@@ -71,6 +71,17 @@ def fused_sgd_init(params, config, trainable: str = "all") -> FusedSGDState:
     layer-name regex (same contract as make_optimizer)."""
     from maskrcnn_tpu.train.step import FREEZE_PRESETS
 
+    # The flat path runs everything in f32 and assumes a two-level
+    # {layer: {weight: arr}} tree; on any other dtype the momentum/update
+    # arithmetic would silently diverge from the optax chain it claims to
+    # reproduce exactly. Fail loudly instead (ADVICE r03).
+    for layer, weights in params.items():
+        for w, arr in weights.items():
+            if jnp.asarray(arr).dtype != jnp.float32:
+                raise TypeError(
+                    f"fused_sgd requires float32 params; {layer}/{w} is "
+                    f"{jnp.asarray(arr).dtype}")
+
     pattern = re.compile(FREEZE_PRESETS.get(trainable, trainable))
     train_mask = _mask_vector(
         params, lambda layer, w: bool(pattern.fullmatch(layer)))

@@ -85,7 +85,7 @@ def main() -> int:
     print(f"optax_tree : {ms_tree:7.2f} ms")
 
     # --- B: fused flat-vector equivalent ---------------------------------
-    from maskrcnn_tpu.train.fused_sgd import fused_sgd_init, fused_sgd_step
+    from fused_sgd import fused_sgd_init, fused_sgd_step
 
     fstate = fused_sgd_init(params, config, "all")
     lr, wd = config.learning_rate, config.weight_decay
