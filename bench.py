@@ -41,6 +41,13 @@ def main() -> int:
                     help="train mode: rematerialize backbone+FPN in the "
                          "backward pass (config.train_remat_backbone) — "
                          "for batch-size sweeps past the activation limit")
+    ap.add_argument("--train-bn", choices=("batch", "frozen"),
+                    default="batch",
+                    help="train mode BN: 'batch' = from-scratch recipe "
+                         "(live batch stats, pure XLA backbone); 'frozen' "
+                         "= Matterport fine-tuning recipe (stored stats; "
+                         "engages the fused Pallas stem/chain forwards "
+                         "via custom_vjp, BN layers frozen)")
     args = ap.parse_args()
 
     import jax
@@ -71,6 +78,8 @@ def main() -> int:
             fuse_mask_head=args.fuse in ("mask", "both"))
     if args.remat:
         config = config.replace(train_remat_backbone=True)
+    if args.train_bn != "batch":
+        config = config.replace(train_bn=args.train_bn)
 
     dev = jax.devices()[0]
     print(f"# bench: {config.architecture} @ "
@@ -180,9 +189,11 @@ def _bench_train(args, config, params, anchors, images, batch):
     med = sorted(times)[len(times) // 2]
     print(f"# train p50 step {med*1000:.1f} ms, "
           f"{batch/med:.2f} img/s", file=sys.stderr)
+    suffix = ("" if config.train_bn == "batch" else f"_{config.train_bn}bn") \
+        + ("_remat" if config.train_remat_backbone else "")
     print(json.dumps({
         "metric": (f"train_images_per_sec_per_chip_{config.architecture}_"
-                   f"{config.image_height}"),
+                   f"{config.image_height}{suffix}"),
         "value": round(batch / med, 3),
         "unit": "images/sec",
         "vs_baseline": round(batch / med / 100.0, 4),

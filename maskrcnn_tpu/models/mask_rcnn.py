@@ -75,9 +75,11 @@ def preprocess(images: jnp.ndarray, config: MaskRCNNConfig) -> jnp.ndarray:
 
 def backbone_fpn(params, images, config: MaskRCNNConfig, dtype,
                  bn_ctx=None, inference: bool = True):
-    """`inference=False` (training/calibration) keeps every op on the
-    differentiable XLA path — the fused Pallas kernels have no autodiff
-    rule, and gating on bn_ctx alone would break frozen-BN fine-tuning."""
+    """`inference=False` (training/calibration) needs gradients: batch-BN
+    runs the pure XLA path, while frozen-BN fine-tuning (bn_ctx None, bf16)
+    still gets the fused Pallas stem/chain forwards via custom_vjp wrappers
+    whose backward rematerializes the equivalent XLA sub-graph
+    (models/resnet.py)."""
     if config.architecture == "mobilenetv2":
         from maskrcnn_tpu.models import mobilenet
         c2, c3, c4, c5 = mobilenet.apply_mobilenetv2(

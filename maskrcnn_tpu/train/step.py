@@ -158,15 +158,29 @@ class TrainState(NamedTuple):
 
 def make_optimizer(config: MaskRCNNConfig, trainable: str = "all"):
     """SGD+momentum with decoupled weight decay on kernels and a layer-name
-    trainability mask (Matterport's layer-regex freezing)."""
+    trainability mask (Matterport's layer-regex freezing).
+
+    With `config.train_bn == "frozen"` every BatchNorm layer is frozen
+    entirely (gamma/beta/moving stats) regardless of the layer regex —
+    Matterport sets `layer.trainable = False` on all BN layers in that
+    recipe, and the frozen-stats forward otherwise backprops nonzero
+    gradients INTO the moving statistics (they are inputs to the normalize),
+    which gradient descent must never update."""
     pattern = re.compile(FREEZE_PRESETS.get(trainable, trainable))
-    freeze_nothing = trainable == "all"
+    freeze_bn = config.train_bn == "frozen"
+    freeze_nothing = trainable == "all" and not freeze_bn
+
+    def _is_bn(weights) -> bool:
+        return set(weights) <= {"gamma", "beta",
+                                "moving_mean", "moving_variance"}
 
     def trainable_mask(params):
         if freeze_nothing:
             return None  # train_step skips the 690-leaf grad multiply
         return {
-            layer: {w: bool(pattern.fullmatch(layer)) for w in weights}
+            layer: {w: bool(pattern.fullmatch(layer))
+                    and not (freeze_bn and _is_bn(weights))
+                    for w in weights}
             for layer, weights in params.items()
         }
 
