@@ -69,3 +69,28 @@ def box_iou(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
     valid = (area_a[:, None] > 0.0) & (area_b[None, :] > 0.0)
     return jnp.where(valid, iou, 0.0)
 
+
+def box_overlap_mask(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray,
+                     threshold: float) -> jnp.ndarray:
+    """Pairwise `IoU > threshold` without the division: (N,4) x (M,4) ->
+    (N,M) bool.
+
+    `inter / union > t  ⟺  inter > t * union` for `union > 0`, so the NMS
+    comparison needs no f32 divide (the per-element divide is the single
+    most expensive VPU op in the IoU — this is the hot comparison inside
+    both NMS implementations). The two forms can disagree only when
+    `inter` is within 1 ulp of `t * union`; degenerate boxes (area <= 0)
+    never overlap anything, matching `box_iou`'s inertness contract
+    (reference `Utils.swift:234-238`)."""
+    area_a = box_area(boxes_a)  # (N,)
+    area_b = box_area(boxes_b)  # (M,)
+
+    yx1 = jnp.maximum(boxes_a[:, None, :2], boxes_b[None, :, :2])  # (N,M,2)
+    yx2 = jnp.minimum(boxes_a[:, None, 2:], boxes_b[None, :, 2:])  # (N,M,2)
+    wh = jnp.maximum(yx2 - yx1, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+
+    union = area_a[:, None] + area_b[None, :] - inter
+    valid = (area_a[:, None] > 0.0) & (area_b[None, :] > 0.0)
+    return (inter > threshold * union) & valid
+

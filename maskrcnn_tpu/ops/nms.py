@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from maskrcnn_tpu.ops.common import round_up
 
-from maskrcnn_tpu.ops.boxes import box_iou
+from maskrcnn_tpu.ops.boxes import box_overlap_mask
 
 
 @functools.partial(
@@ -115,12 +115,13 @@ def nms_padded(
         tile_cand = jax.lax.dynamic_slice(cand_all, (start,), (tile_size,))
 
         # (a) suppression by earlier kept boxes (zero rows in buf are inert).
-        cross_iou = box_iou(buf, tile)  # (buf_cap, B)
-        sup_cross = jnp.any(cross_iou > iou_threshold, axis=0)
+        # Division-free comparison (box_overlap_mask): the NMS only ever
+        # needs `IoU > t`, never the quotient itself.
+        sup_cross = jnp.any(
+            box_overlap_mask(buf, tile, iou_threshold), axis=0)
 
         # (b) within-tile sequential resolution (fixpoint == greedy).
-        iou_self = box_iou(tile, tile)
-        over = iou_self > iou_threshold
+        over = box_overlap_mask(tile, tile, iou_threshold)
         cand = tile_cand & ~sup_cross
 
         b = tile_size

@@ -38,8 +38,13 @@ from jax.experimental.pallas import tpu as pltpu
 from maskrcnn_tpu.ops.common import round_up
 
 
-def _pairwise_iou(a, b):
-    """(M, 4) x (B, 4) -> (M, B) IoU, degenerate boxes inert.
+def _pairwise_hit(a, b, threshold):
+    """(M, 4) x (B, 4) -> (M, B) f32 {0,1} mask of `IoU > threshold`,
+    degenerate boxes inert.
+
+    Division-free: `inter/union > t ⟺ inter > t*union` for union > 0 —
+    the f32 divide is the most expensive VPU op in the IoU and the NMS
+    only consumes the comparison (see `ops/boxes.py::box_overlap_mask`).
 
     Column extraction uses slice+transpose, NOT integer indexing — an int
     index on the minor axis lowers to a `gather`, which Mosaic can't lower.
@@ -52,8 +57,8 @@ def _pairwise_iou(a, b):
     ix = jnp.maximum(jnp.minimum(ax2, bx2) - jnp.maximum(ax1, bx1), 0.0)
     inter = iy * ix
     union = area_a + area_b - inter
-    iou = inter / jnp.where(union > 0.0, union, 1.0)
-    return jnp.where((area_a > 0.0) & (area_b > 0.0), iou, 0.0)
+    hit = (inter > threshold * union) & (area_a > 0.0) & (area_b > 0.0)
+    return jnp.where(hit, 1.0, 0.0)
 
 
 def _nms_kernel(boxes_ref, cand_ref, keep_ref, buf_ref, cnt_ref, *,
@@ -89,9 +94,8 @@ def _nms_kernel(boxes_ref, cand_ref, keep_ref, buf_ref, cnt_ref, *,
         def chunk_body(cstate):
             c, sup_acc = cstate
             cb = buf_ref[pl.ds(c * chunk, chunk), :]   # (chunk, 4)
-            ci = _pairwise_iou(cb, tb)                 # (chunk, B)
-            hitc = jnp.max(jnp.where(ci > threshold, 1.0, 0.0),
-                           axis=0, keepdims=True).T    # (B, 1)
+            ci = _pairwise_hit(cb, tb, threshold)      # (chunk, B) {0,1}
+            hitc = jnp.max(ci, axis=0, keepdims=True).T    # (B, 1)
             return c + 1, jnp.maximum(sup_acc, hitc)
 
         full_chunks = cap // chunk
@@ -103,16 +107,15 @@ def _nms_kernel(boxes_ref, cand_ref, keep_ref, buf_ref, cnt_ref, *,
             # Static tail chunk (cap not a multiple of 128): only computed
             # when the buffer has filled past the full chunks.
             tail = buf_ref[pl.ds(full_chunks * chunk, cap % chunk), :]
-            ti = _pairwise_iou(tail, tb)
-            tail_hit = jnp.max(jnp.where(ti > threshold, 1.0, 0.0),
-                               axis=0, keepdims=True).T
+            ti = _pairwise_hit(tail, tb, threshold)
+            tail_hit = jnp.max(ti, axis=0, keepdims=True).T
             sup = jnp.where(cnt > full_chunks * chunk,
                             jnp.maximum(sup, tail_hit), sup)
         cand = jnp.where(
             (tc > 0.0) & (area > 0.0) & (sup == 0.0), 1.0, 0.0)  # (B,1)
 
-        self_iou = _pairwise_iou(tb, tb)
-        over_f = jnp.where((self_iou > threshold) & upper, 1.0, 0.0)
+        over_f = _pairwise_hit(tb, tb, threshold) * jnp.where(
+            upper, 1.0, 0.0)
 
         # Fixpoint loop. The mask is carried as a 2-D f32 column (Mosaic
         # cannot legalize while-carried 1-D i1 vectors); convergence is a
