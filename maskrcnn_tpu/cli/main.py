@@ -346,7 +346,11 @@ def cmd_train(args) -> int:
         loader_obj = COCOTrainLoader(
             args.annotations, args.images_dir, config,
             batch_size=args.batch, seed=args.seed,
-            flip_prob=args.flip_prob, cache_images=args.cache_images)
+            flip_prob=args.flip_prob, cache_images=args.cache_images,
+            # --exact keeps the exact f32 resample values; production
+            # training ships uint8 canvases (4x less transfer, and the
+            # axon-leak mitigation documented in train/data.py)
+            image_dtype=np.float32 if args.exact else np.uint8)
         # one-ahead prefetch: batch t+1 decodes while the device runs step t
         batcher = PrefetchBatcher(loader_obj)
         loader = batcher.get_batch

@@ -51,14 +51,20 @@ class COCOTrainLoader:
     fine-tuning datasets are re-decoded every epoch otherwise — on a
     1-core host the JPEG decode + resample (~0.4 s per 1024² image)
     dominates the whole training step (measured 3.96 s/step vs 0.43 s of
-    device compute on the 32-image flagship proof). ~12.6 MB per cached
-    1024² example (f32 canvas); 0 disables.
+    device compute on the 32-image flagship proof). ~3.2 MB per cached
+    1024² example (uint8 canvas; 12.6 MB at float32); 0 disables.
+
+    `image_dtype`: canvas dtype handed to the device. uint8 (default)
+    quantizes the resampled canvas (±0.5 LSB, below augmentation noise)
+    for 4x less transfer — see the leak note in `_load_raw`; float32
+    keeps exact resample values (the --exact training path).
     """
 
     def __init__(self, annotations_path: str, images_dir: str,
                  config: MaskRCNNConfig, batch_size: int = 2,
                  max_instances: int = 32, seed: int = 0,
-                 flip_prob: float = 0.5, cache_images: int = 0):
+                 flip_prob: float = 0.5, cache_images: int = 0,
+                 image_dtype=np.uint8):
         self.dataset = COCODataset.from_file(annotations_path)
         self.images_dir = images_dir
         self.config = config
@@ -66,6 +72,7 @@ class COCOTrainLoader:
         self.max_instances = max_instances
         self.flip_prob = flip_prob
         self.cache_images = cache_images
+        self.image_dtype = np.dtype(image_dtype)
         self._cache: dict[int, tuple] = {}
         self.seed = seed
         self.rng = np.random.default_rng(seed)
@@ -107,6 +114,18 @@ class COCOTrainLoader:
         path = os.path.join(self.images_dir, im.file_name)
         size = self.config.image_height
         canvas, win = load_letterboxed(path, size)  # native decode+resample
+        if self.image_dtype == np.uint8:
+            # Round the resampled canvas to uint8: 4x fewer host->device
+            # bytes per step (the model's preprocess consumes RGB [0,255]
+            # of any dtype), and ±0.5 LSB of resample precision is far
+            # below augmentation noise — the reference feeds uint8 frames
+            # to CoreML (`EvaluateCommand.swift:159-165`). Also the
+            # mitigation for the axon-tunnel host-memory leak: the plugin
+            # retains ~every transferred byte (measured 96 MB/step at f32
+            # batch 8, OOM at step ~1250 of the r04 flagship proof; uint8
+            # stretches the same budget 4x). float32 keeps exact values
+            # (--exact uses it).
+            canvas = np.clip(np.rint(canvas), 0, 255).astype(np.uint8)
 
         g = self.max_instances
         boxes = np.zeros((g, 4), np.float32)

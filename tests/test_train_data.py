@@ -85,14 +85,15 @@ def test_cache_matches_uncached(coco_dir):
         b = cached.get_batch(step)
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
-    # mutating a returned example must not poison the cache
+    # mutating a returned example must not poison the cache (canvas is
+    # uint8 by default, so poison with an in-range sentinel)
     img_id = cached.image_ids[0]
     c1, b1, _, m1 = cached.load_example(img_id)
-    c1[:] = -1
+    c1[:] = 7
     b1[:] = -1
     m1[:] = -1
     c2, b2, _, m2 = cached.load_example(img_id)
-    assert (c2 != -1).any() and (b2 != -1).any() and (m2 != -1).any()
+    assert (c2 != 7).any() and (b2 != -1).any() and (m2 != -1).any()
 
 
 def test_prefetch_batcher_matches_direct(coco_dir):
@@ -105,3 +106,35 @@ def test_prefetch_batcher_matches_direct(coco_dir):
         b = fetched.get_batch(step)
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_image_dtype_uint8_default_and_f32_parity(coco_dir):
+    """Default canvases are uint8 (4x less host->device transfer — also
+    the axon-leak mitigation, train/data.py::_load_raw); float32 restores
+    the exact resample values, and the two differ by at most the 0.5 LSB
+    quantization."""
+    cfg = tiny_test_config()
+    u8 = COCOTrainLoader(*coco_dir, cfg, batch_size=2, seed=3)
+    f32 = COCOTrainLoader(*coco_dir, cfg, batch_size=2, seed=3,
+                          image_dtype=np.float32)
+    a = u8.get_batch(0)
+    b = f32.get_batch(0)
+    assert a["images"].dtype == np.uint8
+    assert b["images"].dtype == np.float32
+    assert np.abs(a["images"].astype(np.float32) - b["images"]).max() <= 0.5
+    for k in ("gt_boxes", "gt_class_ids", "gt_masks"):
+        np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_resume_determinism_per_step(coco_dir):
+    """Batch composition is a pure function of (seed, step): a fresh
+    loader asked for step 5 returns exactly what a loader that walked
+    steps 0..5 returns (the resume-continuity contract, ADVICE r03)."""
+    cfg = tiny_test_config()
+    walked = COCOTrainLoader(*coco_dir, cfg, batch_size=2, seed=11)
+    for s in range(6):
+        want = walked.get_batch(s)
+    fresh = COCOTrainLoader(*coco_dir, cfg, batch_size=2, seed=11)
+    got = fresh.get_batch(5)
+    for k in want:
+        np.testing.assert_array_equal(want[k], got[k])
