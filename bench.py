@@ -44,10 +44,15 @@ def main() -> int:
     ap.add_argument("--train-bn", choices=("batch", "frozen"),
                     default="batch",
                     help="train mode BN: 'batch' = from-scratch recipe "
-                         "(live batch stats, pure XLA backbone); 'frozen' "
-                         "= Matterport fine-tuning recipe (stored stats; "
-                         "engages the fused Pallas stem/chain forwards "
-                         "via custom_vjp, BN layers frozen)")
+                         "(live batch stats); 'frozen' = Matterport "
+                         "fine-tuning recipe (stored stats, BN layers "
+                         "frozen) — the 21.1 img/s config at batch 16 "
+                         "with --remat")
+    ap.add_argument("--train-fused-kernels", action="store_true",
+                    help="train mode + frozen BN: run the fused Pallas "
+                         "stem/chain forwards via custom_vjp (measured "
+                         "NEGATIVE on v5e — PERF.md #17; flag kept for "
+                         "the A/B)")
     args = ap.parse_args()
 
     import jax
@@ -80,6 +85,8 @@ def main() -> int:
         config = config.replace(train_remat_backbone=True)
     if args.train_bn != "batch":
         config = config.replace(train_bn=args.train_bn)
+    if args.train_fused_kernels:
+        config = config.replace(train_fused_kernels=True)
 
     dev = jax.devices()[0]
     print(f"# bench: {config.architecture} @ "

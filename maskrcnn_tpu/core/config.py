@@ -126,6 +126,15 @@ class MaskRCNNConfig:
     # positive-undersampling bias, not exact uniform-balanced semantics.
     # "exact" restores `lax.top_k` selection (and is what --exact sets).
     train_sampling_topk: str = "approx"
+    # Run the fused Pallas stem/res2/res3 kernels in the TRAINING forward
+    # too (frozen-BN only; custom_vjp with an XLA-vjp backward,
+    # models/resnet.py). Default OFF: measured NEGATIVE on v5e — the
+    # backward's XLA-forward rematerialization costs more than the kernel
+    # forward saves (frozen-BN batch 8: 19.5 img/s with vs 20.6 without;
+    # batch 16 + remat: 20.9 vs 21.1 — docs/bench_train_r04.json,
+    # PERF.md negative result #17). The capability stays for memory-bound
+    # regimes where the sections' activation savings matter.
+    train_fused_kernels: bool = False
     # Rematerialize the backbone+FPN in the backward pass (jax.checkpoint):
     # trades one extra backbone forward (~66 ms at batch 8) for NOT storing
     # its activations, unlocking larger training batches on a 16 GB chip.

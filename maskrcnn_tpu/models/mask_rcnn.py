@@ -87,7 +87,8 @@ def backbone_fpn(params, images, config: MaskRCNNConfig, dtype,
     else:
         c2, c3, c4, c5 = resnet.apply_resnet(
             params, images, config.architecture, dtype=dtype, bn_ctx=bn_ctx,
-            inference=inference)
+            inference=inference,
+            train_fused_kernels=config.train_fused_kernels)
     return fpn.apply_fpn(params, c2, c3, c4, c5, dtype=dtype)
 
 

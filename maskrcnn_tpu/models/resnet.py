@@ -186,17 +186,22 @@ def _chain_keys(stage: int, letters: str) -> list[str]:
 
 
 def apply_resnet(params, images, architecture: str = "resnet101",
-                 dtype=jnp.bfloat16, bn_ctx=None, inference: bool = True):
+                 dtype=jnp.bfloat16, bn_ctx=None, inference: bool = True,
+                 train_fused_kernels: bool = False):
     """(B, H, W, 3) preprocessed images -> feature maps C2, C3, C4, C5.
 
     The fused Pallas kernels engage whenever their folded-BN math is exact
-    (bf16 + frozen BN stats, `stem_supported`/`chain_supported`). Under
-    `inference=False` they additionally need a gradient path: custom_vjp
-    wrappers run the kernel forward and an XLA-vjp backward — so frozen-BN
-    fine-tuning gets kernel-speed forwards, while batch-BN training (bn_ctx
-    set) falls back to the pure XLA path."""
+    (bf16 + frozen BN stats, `stem_supported`/`chain_supported`) AND a
+    gradient path exists. Under `inference=False` that path is the
+    custom_vjp wrappers (kernel forward, XLA-vjp backward) — opt-in via
+    `train_fused_kernels` because the backward's XLA rematerialization
+    measured slower than the kernel forward saves on v5e (PERF.md negative
+    result #17); batch-BN training (bn_ctx set) always takes the pure XLA
+    path."""
     from maskrcnn_tpu.ops import stem_pallas
-    if stem_pallas.stem_supported(images.shape, dtype, bn_ctx):
+    train_kernels = (not inference) and train_fused_kernels
+    if stem_pallas.stem_supported(images.shape, dtype, bn_ctx) and (
+            inference or train_kernels):
         # Fused Pallas stem: conv1+BN+ReLU+maxpool in one kernel (~18 ms ->
         # ~5 ms at batch 32 on v5e).
         if inference:
@@ -208,7 +213,8 @@ def apply_resnet(params, images, architecture: str = "resnet101",
 
     from maskrcnn_tpu.ops import bottleneck_pallas as bp
     fused_chains = {}
-    if bp.chain_supported(x.shape, dtype, bn_ctx):
+    if bp.chain_supported(x.shape, dtype, bn_ctx) and (
+            inference or train_kernels):
         # Fuse the shallow wide stages (res2 fully; res3 minus its stride-2
         # entry): their convs are HBM-round-trip bound in XLA (26 ms vs a
         # ~5 ms floor for res2 at batch 32 / 1024^2). res4/res5 already run
