@@ -90,37 +90,52 @@ def main() -> int:
             args.iters), 2)
 
     # --- the streaming step: forward with fused on-device paste ----------
-    def step():
-        return forward(params, frames, anchors, cfg, paste_size=size)
+    # Two arms, matching the committed stream artifacts' device_frames=true
+    # convention (bench_stream_device_paste_mb2_r03.json): `dev` keeps the
+    # frames device-resident (the 53.7 fps config — a locally-attached
+    # host's wire is PCIe, not this tunnel), `np` ships numpy each step
+    # (what a remote caller through the tunnel pays).
+    dev_frames = jax.device_put(frames)
+    jax.block_until_ready(dev_frames)
 
-    out = step()
-    jax.block_until_ready(out["detections"])
+    for arm, inp in (("dev", dev_frames), ("np", frames)):
+        def step():
+            return forward(params, inp, anchors, cfg, paste_size=size)
 
-    # blocking: what a synchronous caller pays per dispatch via the tunnel
-    def blocking():
-        o = step()
-        np.asarray(o["detections"][0, 0])  # hard sync via host readback
+        out = step()
+        jax.block_until_ready(out["detections"])
 
-    report["blocking_p50_ms"] = round(p50(blocking, args.iters), 2)
-
-    # device interval: back-to-back dispatches, one sync — tunnel amortized
-    def pipelined():
-        o = None
-        for _ in range(args.pipeline_n):
+        def blocking():
             o = step()
-        np.asarray(o["detections"][0, 0])
+            np.asarray(o["detections"][0, 0])  # hard sync via readback
 
-    t = p50(pipelined, max(6, args.iters // 4))
-    report["device_interval_ms"] = round(t / args.pipeline_n, 2)
-    report["fps_pipelined"] = round(1000.0 * mb / (t / args.pipeline_n), 1)
+        blocking_ms = round(p50(blocking, args.iters), 2)
 
-    report["tunnel_overhead_ms"] = round(
-        report["blocking_p50_ms"] - report["device_interval_ms"], 2)
-    report["tunnel_vs_null_roundtrip_ratio"] = round(
-        report["tunnel_overhead_ms"]
-        / max(report["null_roundtrip_ms"], 1e-9), 2)
-    report["local_host_projection_ms"] = round(
-        report["device_interval_ms"] + report["transfer_ms"], 2)
+        # device interval: back-to-back dispatch, one sync at the end
+        def pipelined():
+            o = None
+            for _ in range(args.pipeline_n):
+                o = step()
+            np.asarray(o["detections"][0, 0])
+
+        t = p50(pipelined, max(6, args.iters // 4))
+        report[arm] = {
+            "blocking_p50_ms": blocking_ms,
+            "interval_ms": round(t / args.pipeline_n, 2),
+            "fps_pipelined": round(1000.0 * mb / (t / args.pipeline_n), 1),
+            "dispatch_sync_overhead_ms": round(
+                blocking_ms - t / args.pipeline_n, 2),
+        }
+
+    d = report["dev"]
+    report["decomposition"] = {
+        "device_residency_ms": d["interval_ms"],
+        "tunnel_rpc_ms": d["dispatch_sync_overhead_ms"],
+        "null_roundtrip_ms": report["null_roundtrip_ms"],
+        "wire_ms_per_dispatch": round(
+            report["np"]["interval_ms"] - d["interval_ms"], 2),
+        "local_host_projection_ms": d["interval_ms"],
+    }
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
