@@ -41,6 +41,7 @@ def run_stream(
     micro_batch: int = 1,
     prebatched: bool = False,
     paste_size: int | None = None,
+    latency_probes: int = 12,
 ) -> StreamStats:
     """Drive letterboxed (S, S, 3) frames through the persistent pipeline.
 
@@ -62,7 +63,6 @@ def run_stream(
     otherwise dominates).
     """
     lat: list[float] = []
-    pending = None  # (idx, device outputs) — one frame of pipelining
     n = 0
     t_start = time.perf_counter()
 
@@ -76,46 +76,63 @@ def run_stream(
             return frame
         return np.clip(np.rint(frame), 0, 255).astype(np.uint8)
 
-    def flush(p):
-        if p is None:
-            return
-        idx, out, t0 = p
-        jax.block_until_ready(out["detections"])
-        lat.append(time.perf_counter() - t0)
-        if on_result is not None:
-            on_result(idx, out)
-
+    # Throughput: dispatch back-to-back with NO per-batch sync. The chip
+    # executes programs in order, so ONE host readback of the LAST batch's
+    # scalar proves every prior batch finished — the same amortized-sync
+    # convention as bench.py. Why not sync per batch: (a) a per-batch host
+    # readback costs a full tunnel RPC (~26 ms, docs/
+    # stream_latency_decomp_r04.json) and serializes the 1-deep pipeline —
+    # measured 53.7 -> 27.6 fps at mb2; (b) `block_until_ready` (used
+    # through r03) is NOT a reliable sync over the tunnel — it has been
+    # observed returning early (a nonsense 1290 fps at mb1 in r04), so the
+    # r03 stream fps artifacts were optimistic. Latency is measured
+    # separately below with honest blocking probes.
+    last = None
     if prebatched:
         for batch in frames:
-            t0 = time.perf_counter()
             out = detector.run_batch(batch, paste_size=paste_size)
-            flush(pending)  # overlap: previous batch finishes while this runs
-            pending = (n, out, t0)
+            if on_result is not None:
+                on_result(n, out)  # device references only — no sync
+            last = out
             n += int(batch.shape[0])
-        flush(pending)
     else:
         batch_buf: list[np.ndarray] = []
         for frame in frames:
             batch_buf.append(as_u8(frame))
             if len(batch_buf) < micro_batch:
                 continue
-            t0 = time.perf_counter()
             out = detector.run_batch(np.stack(batch_buf),
                                      paste_size=paste_size)
-            flush(pending)  # overlap: previous frame finishes while this runs
-            pending = (n, out, t0)
+            if on_result is not None:
+                on_result(n, out)
+            last = out
             n += len(batch_buf)
             batch_buf = []
         if batch_buf:
-            t0 = time.perf_counter()
             out = detector.run_batch(np.stack(batch_buf),
                                      paste_size=paste_size)
-            flush(pending)
-            pending = (n, out, t0)
+            if on_result is not None:
+                on_result(n, out)
+            last = out
             n += len(batch_buf)
-        flush(pending)
-
+    if last is not None:
+        np.asarray(last["detections"][0, 0, 0])  # hard sync: all done
     wall = time.perf_counter() - t_start
+
+    # Blocking p50: dispatch + hard readback per probe — what ONE
+    # synchronous caller sees per micro-batch (includes the tunnel RPC
+    # here; PCIe on a locally-attached host). Device-staged probe frames:
+    # the wire leg is reported separately by tools/stream_latency_decomp.
+    if latency_probes and last is not None:
+        size = detector.config.image_height
+        probe = jnp.asarray(np.zeros(
+            (micro_batch, size, detector.config.image_width, 3), np.uint8))
+        probe.block_until_ready()
+        for _ in range(latency_probes):
+            t0 = time.perf_counter()
+            out = detector.run_batch(probe, paste_size=paste_size)
+            np.asarray(out["detections"][0, 0, 0])
+            lat.append(time.perf_counter() - t0)
     p50 = sorted(lat)[len(lat) // 2] * 1000 if lat else 0.0
     return StreamStats(frames=n, wall_s=wall, p50_latency_ms=p50)
 
