@@ -167,8 +167,16 @@ def cmd_evaluate(args) -> int:
             # "rle": per-detection region paste + O(box area) RLE encode —
             # full-canvas masks at val2017 scale are ~30 GB live and were
             # the results-leg bottleneck (docs/bench_results_leg_r03.json)
+            canvases = [c for c, _ in pending]
+            if args.uint8:
+                # quantize the resampled canvases for the wire: 4x fewer
+                # host->device bytes — and the axon-tunnel host-RAM-leak
+                # mitigation for val2017-scale runs (~16 GB retained
+                # instead of ~63 GB at 5k images; PERF.md r04 leak note)
+                canvases = [np.clip(np.rint(c), 0, 255).astype(np.uint8)
+                            for c in canvases]
             all_dets = detector.detect_canvases(
-                [c for c, _ in pending], [w for _, w in pending],
+                canvases, [w for _, w in pending],
                 batch_size=args.batch, paste_masks="rle")
         dt = (time.time() - t0) / len(pending)
         for img_id, dets in zip(pending_ids, all_dets):
@@ -652,6 +660,14 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--results_dir", default=".maskrcnn/tmp")
     e.add_argument("-c", "--compare", metavar="RESULTS_JSON",
                    help="also score an oracle results file side-by-side")
+    e.add_argument("--uint8", action="store_true",
+                   help="ship uint8 canvases to the device (±0.5 LSB "
+                        "resample quantization — the reference feeds "
+                        "uint8 frames to CoreML anyway): 4x less "
+                        "host->device transfer, and the recommended "
+                        "setting for val2017-scale runs over the axon "
+                        "tunnel (its client leaks ~every transferred "
+                        "byte — PERF.md r04)")
     e.add_argument("--exact", action="store_true",
                    help="reference-exact numerics: float32 + exact top-k + table anchors (production defaults trade <=0.01 AP for ~2x throughput)")
     e.add_argument("--compare-tf", action="store_true",

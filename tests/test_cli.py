@@ -74,6 +74,24 @@ def test_evaluate(workspace, capsys):
     assert (workspace / ".maskrcnn/tmp/results.pb").exists()
 
 
+def test_evaluate_uint8_canvases(workspace, capsys):
+    """--uint8 ships quantized canvases (the transfer-leak mitigation for
+    tunnel-scale runs); the eval must run end-to-end and produce rows for
+    the same images as the f32 path."""
+    assert main(["evaluate", "t", "coco", "--limit", "2", "--batch", "2",
+                 "--results_dir", ".maskrcnn/tmp/f32ref"]) == 0
+    assert main(["evaluate", "t", "coco", "--limit", "2", "--batch", "2",
+                 "--uint8", "--results_dir", ".maskrcnn/tmp/u8"]) == 0
+    out = capsys.readouterr().out
+    assert "AP @[0.50:0.95]" in out
+    with open(workspace / ".maskrcnn/tmp/u8/results.json") as f:
+        rows = json.load(f)
+    with open(workspace / ".maskrcnn/tmp/f32ref/results.json") as f:
+        rows_f32 = json.load(f)
+    assert {r["image_id"] for r in rows} == {r["image_id"]
+                                            for r in rows_f32}
+
+
 def test_evaluate_dp_matches_single_device(workspace, capsys):
     """`evaluate --dp 4` over the virtual CPU mesh must reproduce the
     single-device run exactly: same results.json rows, same AP table
