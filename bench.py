@@ -196,8 +196,13 @@ def _bench_train(args, config, params, anchors, images, batch):
     med = sorted(times)[len(times) // 2]
     print(f"# train p50 step {med*1000:.1f} ms, "
           f"{batch/med:.2f} img/s", file=sys.stderr)
+    if config.train_fused_kernels and config.train_bn != "frozen":
+        print("# WARNING: --train-fused-kernels has no effect without "
+              "--train-bn frozen (batch-BN stats cannot fold into conv "
+              "weights; the kernels gate themselves off)", file=sys.stderr)
     suffix = ("" if config.train_bn == "batch" else f"_{config.train_bn}bn") \
-        + ("_remat" if config.train_remat_backbone else "")
+        + ("_remat" if config.train_remat_backbone else "") \
+        + ("_fusedkernels" if config.train_fused_kernels else "")
     print(json.dumps({
         "metric": (f"train_images_per_sec_per_chip_{config.architecture}_"
                    f"{config.image_height}{suffix}"),

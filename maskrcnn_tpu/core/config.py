@@ -163,6 +163,13 @@ class MaskRCNNConfig:
             raise ValueError(
                 "train_sampling_topk must be 'approx' or 'exact', got "
                 f"{self.train_sampling_topk!r}")
+        # Two consumers string-compare this (compute_losses -> batch stats,
+        # make_optimizer -> whole-BN-layer freeze); a typo would silently
+        # produce a half-frozen regime rather than an error.
+        if self.train_bn not in ("batch", "frozen"):
+            raise ValueError(
+                f"train_bn must be 'batch' or 'frozen', got "
+                f"{self.train_bn!r}")
 
     # --- derived ----------------------------------------------------------
     @property

@@ -34,6 +34,16 @@ class LetterboxWindow:
     orig_width: int
 
 
+def quantize_canvas_u8(canvas: np.ndarray) -> np.ndarray:
+    """Round an RGB [0,255] float canvas to uint8 (round-half-even, the
+    single quantization convention for every wire-format path: stream
+    frames, train canvases, evaluate --uint8). ±0.5 LSB of resample
+    precision — below bf16 input rounding; 4× fewer host→device bytes."""
+    if canvas.dtype == np.uint8:
+        return canvas
+    return np.clip(np.rint(canvas), 0, 255).astype(np.uint8)
+
+
 def compute_window(orig_h: int, orig_w: int, size: int) -> LetterboxWindow:
     scale = min(size / orig_h, size / orig_w)
     # Clamp to >= 1 px so extreme aspect ratios keep a nonzero window.

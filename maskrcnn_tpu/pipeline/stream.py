@@ -42,6 +42,7 @@ def run_stream(
     prebatched: bool = False,
     paste_size: int | None = None,
     latency_probes: int = 12,
+    sync_every: int = 8,
 ) -> StreamStats:
     """Drive letterboxed (S, S, 3) frames through the persistent pipeline.
 
@@ -66,34 +67,43 @@ def run_stream(
     n = 0
     t_start = time.perf_counter()
 
-    def as_u8(frame: np.ndarray) -> np.ndarray:
-        # Video frames are 8-bit; shipping uint8 quarters the host->device
-        # transfer (12 MB -> 3 MB per 1024² frame) and the in-graph
-        # preprocess casts on device. Letterboxed float canvases are
-        # rounded (<=0.5/255 sub-integer resampling precision, below any
-        # detection tolerance).
-        if frame.dtype == np.uint8:
-            return frame
-        return np.clip(np.rint(frame), 0, 255).astype(np.uint8)
+    # Video frames are 8-bit; shipping uint8 quarters the host->device
+    # transfer (12 MB -> 3 MB per 1024² frame) and the in-graph preprocess
+    # casts on device (shared convention: preprocess.quantize_canvas_u8).
+    from maskrcnn_tpu.pipeline.preprocess import quantize_canvas_u8 as as_u8
 
-    # Throughput: dispatch back-to-back with NO per-batch sync. The chip
-    # executes programs in order, so ONE host readback of the LAST batch's
-    # scalar proves every prior batch finished — the same amortized-sync
-    # convention as bench.py. Why not sync per batch: (a) a per-batch host
-    # readback costs a full tunnel RPC (~26 ms, docs/
-    # stream_latency_decomp_r04.json) and serializes the 1-deep pipeline —
-    # measured 53.7 -> 27.6 fps at mb2; (b) `block_until_ready` (used
-    # through r03) is NOT a reliable sync over the tunnel — it has been
-    # observed returning early (a nonsense 1290 fps at mb1 in r04), so the
-    # r03 stream fps artifacts were optimistic. Latency is measured
-    # separately below with honest blocking probes.
+    # Throughput: dispatch back-to-back, syncing only every `sync_every`
+    # batches (hard host readback of ONE scalar — the chip executes
+    # programs in order, so syncing batch i proves every batch <= i
+    # finished; bench.py's amortized-sync convention). Why not sync per
+    # batch: (a) a per-batch readback costs a full tunnel RPC (~26 ms,
+    # docs/stream_latency_decomp_r04.json) and serializes the 1-deep
+    # pipeline — measured 53.7 -> 27.6 fps at mb2; (b) `block_until_ready`
+    # (used through r03) is NOT a reliable sync over the tunnel — it has
+    # been observed returning early (a nonsense 1290 fps at mb1 in r04),
+    # so the r03 stream fps artifacts were optimistic. Why not sync ONLY
+    # at the end: with paste_size, each in-flight batch holds a
+    # (mb, D, S, S) uint8 output (~100 MB/frame) — unbounded dispatch
+    # would accumulate them in HBM until RESOURCE_EXHAUSTED on a long
+    # stream. sync_every=8 bounds live outputs to ~8 batches while
+    # amortizing the RPC to ~3 ms/batch. Latency is measured separately
+    # below with honest blocking probes.
     last = None
+    dispatched = 0
+
+    def track(out):
+        nonlocal last, dispatched
+        last = out
+        dispatched += 1
+        if sync_every and dispatched % sync_every == 0:
+            np.asarray(out["detections"][0, 0, 0])  # bound the queue
+
     if prebatched:
         for batch in frames:
             out = detector.run_batch(batch, paste_size=paste_size)
             if on_result is not None:
                 on_result(n, out)  # device references only — no sync
-            last = out
+            track(out)
             n += int(batch.shape[0])
     else:
         batch_buf: list[np.ndarray] = []
@@ -105,7 +115,7 @@ def run_stream(
                                      paste_size=paste_size)
             if on_result is not None:
                 on_result(n, out)
-            last = out
+            track(out)
             n += len(batch_buf)
             batch_buf = []
         if batch_buf:
@@ -113,7 +123,7 @@ def run_stream(
                                      paste_size=paste_size)
             if on_result is not None:
                 on_result(n, out)
-            last = out
+            track(out)
             n += len(batch_buf)
     if last is not None:
         np.asarray(last["detections"][0, 0, 0])  # hard sync: all done
@@ -124,9 +134,15 @@ def run_stream(
     # here; PCIe on a locally-attached host). Device-staged probe frames:
     # the wire leg is reported separately by tools/stream_latency_decomp.
     if latency_probes and last is not None:
+        # Probe at the batch size the stream ACTUALLY ran (prebatched
+        # callers may never pass micro_batch) — a mismatched probe shape
+        # would silently recompile and measure a config the stream never
+        # executed.
+        probe_mb = (micro_batch if not prebatched
+                    else int(last["detections"].shape[0]))
         size = detector.config.image_height
         probe = jnp.asarray(np.zeros(
-            (micro_batch, size, detector.config.image_width, 3), np.uint8))
+            (probe_mb, size, detector.config.image_width, 3), np.uint8))
         probe.block_until_ready()
         for _ in range(latency_probes):
             t0 = time.perf_counter()

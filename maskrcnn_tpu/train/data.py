@@ -125,7 +125,8 @@ class COCOTrainLoader:
             # batch 8, OOM at step ~1250 of the r04 flagship proof; uint8
             # stretches the same budget 4x). float32 keeps exact values
             # (--exact uses it).
-            canvas = np.clip(np.rint(canvas), 0, 255).astype(np.uint8)
+            from maskrcnn_tpu.pipeline.preprocess import quantize_canvas_u8
+            canvas = quantize_canvas_u8(canvas)
 
         g = self.max_instances
         boxes = np.zeros((g, 4), np.float32)
