@@ -1,0 +1,30 @@
+"""No-phantom-artifacts rule, enforced in CI (VERDICT r03 weak #1).
+
+Every `docs/...` artifact path mentioned in README / PARITY.md / PERF.md /
+API.md / round notes must exist in the tree (struck-through `~~...~~`
+mentions are documented phantoms and exempt). tools/check_artifacts.py
+is the implementation; this keeps it green forever.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+import check_artifacts
+
+
+def test_no_phantom_artifacts():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    missing = check_artifacts.check(root)
+    assert not missing, f"docs cite artifacts that do not exist: {missing}"
+
+
+def test_checker_catches_phantoms(tmp_path):
+    (tmp_path / "docs").mkdir()
+    (tmp_path / "README.md").write_text(
+        "see `docs/real_thing.json` and `docs/ghost_thing.json` and "
+        "~~`docs/known_phantom.json`~~ (never produced)")
+    (tmp_path / "docs/real_thing.json").write_text("{}")
+    missing = check_artifacts.check(str(tmp_path))
+    assert missing == ["README.md: docs/ghost_thing.json"]
