@@ -163,13 +163,13 @@ def cmd_evaluate(args) -> int:
         if not pending:
             return
         t0 = time.time()
+        # --uint8 quantizes the resampled canvases for the wire: 4x fewer
+        # host->device bytes — and the axon-tunnel host-RAM-leak
+        # mitigation for val2017-scale runs (~16 GB retained instead of
+        # ~63 GB at 5k images; PERF.md r04 leak note). Quantization is
+        # host-side work, charged OUTSIDE the inference phase.
         canvases = [c for c, _ in pending]
         if args.uint8:
-            # quantize the resampled canvases for the wire: 4x fewer
-            # host->device bytes — and the axon-tunnel host-RAM-leak
-            # mitigation for val2017-scale runs (~16 GB retained
-            # instead of ~63 GB at 5k images; PERF.md r04 leak note).
-            # Host-side work: charged OUTSIDE the inference phase.
             from maskrcnn_tpu.pipeline.preprocess import quantize_canvas_u8
             canvases = [quantize_canvas_u8(c) for c in canvases]
         with timer.phase("inference"):

@@ -116,7 +116,8 @@ class MaskRCNNDetector:
 
     def detect_images(self, images: Sequence[np.ndarray],
                       paste_masks: bool | str = True,
-                      batch_size: int | None = None) -> list[list[Detection]]:
+                      batch_size: int | None = None,
+                      uint8_wire: bool = False) -> list[list[Detection]]:
         """Arbitrary-size RGB uint8 images -> per-image decoded detections.
 
         `paste_masks`: True -> full-canvas boolean masks (demo/render);
@@ -124,7 +125,8 @@ class MaskRCNNDetector:
         serve); False -> boxes only.
 
         `batch_size` pads the final chunk so only ONE jit program is compiled
-        per configured size (None = one batch of len(images))."""
+        per configured size (None = one batch of len(images)).
+        `uint8_wire`: see `detect_canvases`."""
         if not images:
             return []
         from maskrcnn_tpu.pipeline.loader import letterbox_rgb
@@ -137,17 +139,27 @@ class MaskRCNNDetector:
             windows.append(win)
         return self.detect_canvases(canvases, windows,
                                     paste_masks=paste_masks,
-                                    batch_size=batch_size)
+                                    batch_size=batch_size,
+                                    uint8_wire=uint8_wire)
 
     def detect_canvases(self, canvases: Sequence[np.ndarray],
                         windows: Sequence[LetterboxWindow],
                         paste_masks: bool | str = True,
-                        batch_size: int | None = None
-                        ) -> list[list[Detection]]:
+                        batch_size: int | None = None,
+                        uint8_wire: bool = False) -> list[list[Detection]]:
         """Pre-letterboxed (S, S, 3) float32 canvases (e.g. from
-        `pipeline.loader`) -> per-image decoded detections."""
+        `pipeline.loader`) -> per-image decoded detections.
+
+        `uint8_wire`: quantize canvases to uint8 before the host->device
+        transfer (±0.5 LSB; the reference feeds uint8 frames to CoreML) —
+        4× fewer wire bytes, and the recommended setting for long-running
+        or large-batch use over the axon tunnel, whose client retains
+        ~every transferred byte (PERF.md r04)."""
         if not canvases:
             return []
+        if uint8_wire:
+            from maskrcnn_tpu.pipeline.preprocess import quantize_canvas_u8
+            canvases = [quantize_canvas_u8(c) for c in canvases]
         results: list[list[Detection]] = []
         bs = batch_size or len(canvases)
         for start in range(0, len(canvases), bs):

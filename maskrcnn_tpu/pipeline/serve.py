@@ -45,10 +45,12 @@ class BatchingWorker:
     """Collects requests for up to `window_ms` (or `max_batch`) and runs
     them through the detector as one padded batch."""
 
-    def __init__(self, detector, max_batch: int = 8, window_ms: float = 5.0):
+    def __init__(self, detector, max_batch: int = 8, window_ms: float = 5.0,
+                 uint8_wire: bool = True):
         self.detector = detector
         self.max_batch = max_batch
         self.window_ms = window_ms
+        self.uint8_wire = uint8_wire
         self.q: queue.Queue[_Pending] = queue.Queue()
         self.batches = 0
         self.frames = 0
@@ -88,9 +90,13 @@ class BatchingWorker:
             try:
                 # "rle": O(box area) region paste+encode per detection; the
                 # response carries RLE anyway, so full canvases are waste
+                # uint8_wire default ON for a long-running server: request
+                # images are 8-bit JPEG pixels anyway, and the quantized
+                # wire keeps host RAM flat over the tunnel (PERF.md r04)
                 results = self.detector.detect_images(
                     [p.image for p in batch], paste_masks="rle",
-                    batch_size=self.max_batch)
+                    batch_size=self.max_batch,
+                    uint8_wire=self.uint8_wire)
                 for p, r in zip(batch, results):
                     p.result = r
             except Exception as e:  # surface to every waiter, keep serving
