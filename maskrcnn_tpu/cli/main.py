@@ -84,6 +84,12 @@ def _build_detector(name: str, config_path, weights_path, products_dir=None,
 
 def cmd_convert(args) -> int:
     import jax
+
+    if getattr(args, "export_savedmodel", None):
+        # The exported graph must take the pure-XLA (Pallas-free) path:
+        # force the CPU backend before the first device op. Conversion
+        # itself needs no accelerator.
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from maskrcnn_tpu.core.anchors import generate_anchors, save_anchors_bin
@@ -115,6 +121,30 @@ def cmd_convert(args) -> int:
     print(f"products written to {out_dir}: checkpoint.npz"
           f"{' (fp16)' if ckpt_dtype is np.float16 else ''}, anchors.bin "
           f"({anchors.shape[0]} anchors), config.json")
+
+    if getattr(args, "export_savedmodel", None):
+        from maskrcnn_tpu.io.export import (export_savedmodel,
+                                            verify_savedmodel)
+
+        sm_dir = args.export_savedmodel
+        t0 = time.time()
+        export_savedmodel(params, config, sm_dir,
+                          batch=args.export_batch)
+        diff = verify_savedmodel(sm_dir, params, config,
+                                 batch=args.export_batch)
+        print(f"SavedModel exported to {sm_dir} in {time.time()-t0:.1f}s "
+              f"(batch {args.export_batch}; reload-vs-JAX max |diff| "
+              f"{diff:.2e})")
+        if diff > 1e-4:
+            # Large diffs at RANDOM weights are usually a near-tie NMS
+            # flip under a different kernel library (e.g. a TF process
+            # that already imported with oneDNN on); trained weights have
+            # wide margins. Warn rather than fail.
+            print("# WARNING: SavedModel reload differs from the JAX "
+                  "forward beyond 1e-4 — likely a near-tie detection "
+                  "flip from a different conv kernel library; verify "
+                  "with trained weights (and TF_ENABLE_ONEDNN_OPTS=0)",
+                  file=sys.stderr)
     return 0
 
 
@@ -642,6 +672,15 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--weights")
     c.add_argument("--output_dir")
     c.add_argument("--allow-missing", action="store_true")
+    c.add_argument("--export-savedmodel", metavar="DIR",
+                   help="also stage the full single-program forward out "
+                        "as a TF SavedModel via jax2tf (weights + anchors"
+                        " + preprocess baked in, `detect` signature) — "
+                        "the cross-framework deployment leg of the "
+                        "conversion pipeline; verified against the JAX "
+                        "forward on export")
+    c.add_argument("--export-batch", type=int, default=1,
+                   help="static batch size of the exported signature")
     c.add_argument("--fp16", action="store_true",
                    help="store checkpoint weights as float16 (the "
                         "reference fp16-quantizes all three converted "

@@ -13,6 +13,10 @@ import os
 # tunnel (minutes-long remote compiles, TPU matmul numerics). Overriding the
 # config after import wins.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Pure-XLA TF execution (oneDNN custom ops round differently and flip
+# near-tie NMS selections — breaks jax2tf export verification and makes
+# the TF-oracle comparisons kernel-library-dependent).
+os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

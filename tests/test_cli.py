@@ -202,3 +202,23 @@ def test_download_fails_cleanly(workspace, capsys):
                "--url", "https://nonexistent.invalid/weights.h5"])
     assert rc == 1
     assert "failed" in capsys.readouterr().err
+
+@pytest.mark.slow
+def test_convert_export_savedmodel(workspace, tmp_path):
+    """convert --export-savedmodel stages the single-program forward out
+    through jax2tf (the cross-framework deployment leg); reload must
+    reproduce the JAX forward (cli prints the verified max diff and
+    fails >1e-4)."""
+    sm = str(tmp_path / "sm")
+    assert main(["convert", "t", "--export-savedmodel", sm,
+                 "--export-batch", "1"]) == 0
+    import tensorflow as tf
+
+    mod = tf.saved_model.load(sm)
+    from maskrcnn_tpu.core.config import tiny_test_config
+
+    cfg = tiny_test_config()
+    out = mod.detect(tf.zeros([1, cfg.image_height, cfg.image_width, 3],
+                              tf.float32))
+    assert set(out) == {"detections", "masks", "valid"}
+    assert out["detections"].shape[0] == 1
