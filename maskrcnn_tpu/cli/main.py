@@ -607,12 +607,22 @@ def cmd_serve(args) -> int:
     detector, config = _build_detector(args.model, args.config, args.weights,
                                        None, exact=args.exact)
     size = config.image_height
-    # Warm the single compiled batch shape off the serving path.
-    detector.run_batch(np.zeros((args.max_batch, size, size, 3), np.float32))
+    # uint8 wire by default (request pixels are 8-bit JPEG; keeps host
+    # RAM flat over the tunnel — PERF.md r04); --exact restores float32
+    # canvases end-to-end per its reference-exact-numerics contract.
+    uint8_wire = not args.exact
+    # Warm the single compiled batch shape off the serving path — with
+    # the dtype the serving path will actually send (dtype is part of
+    # the jit cache key; a float32 warm-up would leave the uint8 path
+    # to compile on the first real request).
+    wire_dtype = np.uint8 if uint8_wire else np.float32
+    detector.run_batch(np.zeros((args.max_batch, size, size, 3),
+                                wire_dtype))
 
     server, worker = make_server(detector, host=args.host, port=args.port,
                                  max_batch=args.max_batch,
-                                 window_ms=args.window_ms)
+                                 window_ms=args.window_ms,
+                                 uint8_wire=uint8_wire)
     host, port = server.server_address[:2]
     print(f"# serving on http://{host}:{port}  "
           f"(POST /detect, GET /healthz; batch<={args.max_batch}, "

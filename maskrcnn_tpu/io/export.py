@@ -86,9 +86,12 @@ def export_savedmodel(params, config, out_dir: str, batch: int = 1,
 
 
 def verify_savedmodel(out_dir: str, params, config, batch: int = 1,
-                      seed: int = 0) -> float:
+                      seed: int = 0,
+                      paste_size: int | None = None) -> float:
     """Reload the SavedModel and compare against the JAX forward on one
-    random batch; returns the max abs difference across outputs."""
+    random batch; returns the max abs difference across outputs.
+    `paste_size` must match the export's (the JAX side runs the same
+    fused-paste stage and the `pasted` output is compared too)."""
     import jax
     import jax.numpy as jnp
     import tensorflow as tf
@@ -100,10 +103,13 @@ def verify_savedmodel(out_dir: str, params, config, batch: int = 1,
     imgs = rng.uniform(0, 255, (batch, config.image_height,
                                 config.image_width, 3)).astype(np.float32)
     anchors = jnp.asarray(generate_anchors(config))
-    want = forward(params, jnp.asarray(imgs), anchors, config)
+    want = forward(params, jnp.asarray(imgs), anchors, config,
+                   paste_size=paste_size)
     got = tf.saved_model.load(out_dir).detect(tf.constant(imgs))
+    keys = ("detections", "masks", "valid") + (
+        ("pasted",) if paste_size else ())
     worst = 0.0
-    for k in ("detections", "masks", "valid"):
+    for k in keys:
         a = np.asarray(want[k], np.float32)
         b = got[k].numpy().astype(np.float32)
         if a.size:

@@ -102,9 +102,12 @@ class MaskRCNNDetector:
         b = images.shape[0]
         pad = (-b) % n
         if pad:  # keep the per-device shape static and equal
+            images = np.asarray(images)
+            # pad in the batch's OWN dtype — float32 zeros would promote
+            # a uint8_wire batch back to f32 and silently defeat the
+            # 4x-smaller transfer the caller asked for
             images = np.concatenate(
-                [np.asarray(images),
-                 np.zeros((pad, *images.shape[1:]), np.float32)])
+                [images, np.zeros((pad, *images.shape[1:]), images.dtype)])
         out = data_parallel_forward(self._mesh, self.config, self.params,
                                     shard_batch(self._mesh, images),
                                     self.anchors, paste_size=paste_size)

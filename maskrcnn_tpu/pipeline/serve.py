@@ -132,12 +132,18 @@ def _detections_to_json(dets, num_classes: int = 81) -> dict:
 
 
 def make_server(detector, host: str = "127.0.0.1", port: int = 8389,
-                max_batch: int = 8, window_ms: float = 5.0):
-    """Build (server, worker); call server.serve_forever() to run."""
+                max_batch: int = 8, window_ms: float = 5.0,
+                uint8_wire: bool = True):
+    """Build (server, worker); call server.serve_forever() to run.
+
+    `uint8_wire` (default on — request pixels are 8-bit JPEG anyway, and
+    a persistent server must keep host RAM flat over the tunnel) is
+    forwarded to the worker; `cli serve --exact` turns it off to honor
+    the reference-exact-numerics contract."""
     from maskrcnn_tpu.pipeline.loader import decode_rgb_bytes
 
     worker = BatchingWorker(detector, max_batch=max_batch,
-                            window_ms=window_ms)
+                            window_ms=window_ms, uint8_wire=uint8_wire)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default

@@ -28,3 +28,19 @@ def test_checker_catches_phantoms(tmp_path):
     (tmp_path / "docs/real_thing.json").write_text("{}")
     missing = check_artifacts.check(str(tmp_path))
     assert missing == ["README.md: docs/ghost_thing.json"]
+
+
+def test_checker_terminates_on_unbalanced_brace():
+    assert check_artifacts.expand("docs/bench_{a,b.json") == \
+        ["docs/bench_{a,b.json"]
+    assert check_artifacts.expand("docs/x_{1,2}.json") == \
+        ["docs/x_1.json", "docs/x_2.json"]
+
+
+def test_checker_does_not_fuse_prose(tmp_path):
+    (tmp_path / "docs").mkdir()
+    (tmp_path / "README.md").write_text(
+        "see the docs/ tree and README.md for details; also "
+        "`docs/real.v2.json` exists")
+    (tmp_path / "docs/real.v2.json").write_text("{}")
+    assert check_artifacts.check(str(tmp_path)) == []

@@ -206,9 +206,10 @@ def test_download_fails_cleanly(workspace, capsys):
 @pytest.mark.slow
 def test_convert_export_savedmodel(workspace, tmp_path):
     """convert --export-savedmodel stages the single-program forward out
-    through jax2tf (the cross-framework deployment leg); reload must
-    reproduce the JAX forward (cli prints the verified max diff and
-    fails >1e-4)."""
+    through jax2tf (the cross-framework deployment leg); the CLI
+    reload-verifies and prints the max diff (warning — not failing — on
+    >1e-4, since random-weight near-tie NMS flips under a different conv
+    kernel library are expected; trained weights have wide margins)."""
     sm = str(tmp_path / "sm")
     assert main(["convert", "t", "--export-savedmodel", sm,
                  "--export-batch", "1"]) == 0

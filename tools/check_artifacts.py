@@ -17,7 +17,6 @@ Run directly or via tests/test_artifacts.py (fast tier).
 from __future__ import annotations
 
 import glob
-import itertools
 import os
 import re
 import sys
@@ -25,25 +24,29 @@ import sys
 DOCS = ("README.md", "PARITY.md", "docs/PERF.md", "docs/API.md",
         "docs/R03_NOTES.md", "docs/R04_NOTES.md")
 
-# docs/<name>.<ext> possibly containing {a,b} alternations or * globs;
-# tolerate a linebreak-split path by stripping whitespace later.
-_PATH_RE = re.compile(r"docs/[\w\-{},*\n ]+?\.(?:json|png|md)")
+# docs/<name>.<ext> possibly containing {a,b} alternations, * globs, or
+# dots in the stem; tolerate ONLY a linebreak split (markdown wrapping) —
+# arbitrary spaces would fuse ordinary prose into phantom "paths".
+_PATH_RE = re.compile(r"docs/[\w\-{},*.\n]+\.(?:json|png|md)")
 
 
 def expand(path: str) -> list[str]:
-    """Expand {a,b} alternations into concrete paths."""
+    """Expand {a,b} alternations into concrete paths. Unbalanced braces
+    (no matching pair left) pass through unchanged rather than looping."""
     parts = [path]
-    while any("{" in p for p in parts):
-        nxt = []
+    while True:
+        nxt, changed = [], False
         for p in parts:
             m = re.search(r"\{([^{}]*)\}", p)
             if not m:
                 nxt.append(p)
                 continue
+            changed = True
             for alt in m.group(1).split(","):
                 nxt.append(p[:m.start()] + alt + p[m.end():])
         parts = nxt
-    return parts
+        if not changed:
+            return parts
 
 
 def check(root: str) -> list[str]:
@@ -56,7 +59,7 @@ def check(root: str) -> list[str]:
         # drop struck-through (documented-phantom) mentions
         text = re.sub(r"~~[^~]*~~", "", text)
         for raw in _PATH_RE.findall(text):
-            path = raw.replace("\n", "").replace(" ", "")
+            path = raw.replace("\n", "")
             for cand in expand(path):
                 if "*" in cand:
                     if not glob.glob(os.path.join(root, cand)):
