@@ -348,6 +348,10 @@ def cmd_train(args) -> int:
         config = config.exact_numerics()
         print("# --exact: float32 compute, exact top-k, table anchors",
               flush=True)
+    if args.train_bn:
+        config = config.replace(train_bn=args.train_bn)
+    if args.remat:
+        config = config.replace(train_remat_backbone=True)
     if args.synthetic:
         config = config.replace(
             architecture="resnet50",
@@ -745,6 +749,17 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--image-size", type=int, default=128)
     t.add_argument("--trainable", default="all",
                    help="all|heads|3+|4+|5+ or a layer-name regex")
+    t.add_argument("--train-bn", choices=("batch", "frozen"),
+                   help="override config.train_bn: 'batch' = from-scratch "
+                        "recipe (live batch stats + post-training "
+                        "calibration); 'frozen' = Matterport fine-tuning "
+                        "recipe (stored stats, ALL BatchNorm layers "
+                        "frozen — the 21.1 img/s config with --remat at "
+                        "batch 16, docs/bench_train_r04.json)")
+    t.add_argument("--remat", action="store_true",
+                   help="rematerialize the backbone+FPN in the backward "
+                        "pass (config.train_remat_backbone) — required "
+                        "for batch >= 16 at 1024² on a 16 GB chip")
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--log-every", type=int, default=5)
     t.add_argument("--output", help="write final checkpoint.npz here")

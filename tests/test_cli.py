@@ -223,3 +223,39 @@ def test_convert_export_savedmodel(workspace, tmp_path):
                               tf.float32))
     assert set(out) == {"detections", "masks", "valid"}
     assert out["detections"].shape[0] == 1
+
+
+def test_train_frozen_bn_flag(workspace):
+    """--train-bn frozen (the Matterport fine-tuning recipe, CLI surface):
+    runs end-to-end, skips BN calibration, and moves ZERO BatchNorm
+    weights (make_optimizer freezes whole BN layers in that mode)."""
+    import jax
+
+    from maskrcnn_tpu.models.mask_rcnn import init_mask_rcnn
+
+    # mirror cmd_train's --synthetic config exactly (resnet50 @ 128², 5
+    # classes) so the init params compare shape-for-shape
+    cfg = tiny_test_config().replace(
+        architecture="resnet50", input_image_shape=(128, 128, 3),
+        num_classes=5,
+        anchor_scales=tuple(128 / 16 * s for s in (1, 2, 4, 8, 16)),
+        pre_nms_max_proposals=256, max_proposals=64, max_detections=16,
+        train_rois_per_image=32, rpn_train_anchors_per_image=64)
+    rc = main(["train", "t", "--synthetic", "--steps", "2", "--batch", "1",
+               "--train-bn", "frozen", "--remat",
+               "--output", "frozen_ck.npz"])
+    assert rc == 0
+    init_p = init_mask_rcnn(jax.random.PRNGKey(0), cfg)
+    trained = np.load(workspace / "frozen_ck.npz")
+    moved_bn = moved_other = 0
+    for layer, weights in init_p.items():
+        is_bn = set(weights) <= {"gamma", "beta", "moving_mean",
+                                 "moving_variance"}
+        for w, arr in weights.items():
+            delta = float(np.abs(trained[f"{layer}/{w}"]
+                                 - np.asarray(arr)).max())
+            if is_bn:
+                assert delta == 0.0, f"BN moved under frozen BN: {layer}/{w}"
+            elif delta > 0:
+                moved_other += 1
+    assert moved_other > 50
