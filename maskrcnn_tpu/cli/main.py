@@ -492,6 +492,14 @@ def cmd_download(args) -> int:
     url = args.url or ("https://github.com/matterport/Mask_RCNN/releases/"
                        "download/v2.0/mask_rcnn_coco.h5")
     out = os.path.join(dest, "weights.h5")
+    if args.url and os.path.exists(args.url):
+        # local artifact mirror (the offline story: zero-egress hosts
+        # stage release files on disk) — copy instead of fetching
+        import shutil
+
+        shutil.copyfile(args.url, out)
+        print(f"copied local artifact {args.url} -> {out}")
+        return 0
     print(f"downloading {url} -> {out}")
     try:
         with urllib.request.urlopen(url, timeout=args.timeout) as r, \

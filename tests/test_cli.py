@@ -203,6 +203,18 @@ def test_download_fails_cleanly(workspace, capsys):
     assert rc == 1
     assert "failed" in capsys.readouterr().err
 
+
+def test_download_local_mirror(workspace, tmp_path, capsys):
+    """--url pointing at an existing local path copies the staged artifact
+    (the offline story for zero-egress hosts with a release mirror)."""
+    src = tmp_path / "mirror_weights.h5"
+    src.write_bytes(b"h5-bytes")
+    rc = main(["download", "mirrored", "--url", str(src)])
+    assert rc == 0
+    out = workspace / ".maskrcnn/models/mirrored/weights.h5"
+    assert out.read_bytes() == b"h5-bytes"
+    assert "copied local artifact" in capsys.readouterr().out
+
 @pytest.mark.slow
 def test_convert_export_savedmodel(workspace, tmp_path):
     """convert --export-savedmodel stages the single-program forward out
