@@ -53,6 +53,10 @@ def main() -> int:
                          "stem/chain forwards via custom_vjp (measured "
                          "NEGATIVE on v5e — PERF.md #17; flag kept for "
                          "the A/B)")
+    ap.add_argument("--bf16-momentum", action="store_true",
+                    help="train mode: bfloat16 SGD momentum accumulator "
+                         "(config.train_momentum_dtype) — halves "
+                         "optimizer-state HBM footprint/traffic")
     args = ap.parse_args()
 
     import jax
@@ -87,6 +91,8 @@ def main() -> int:
         config = config.replace(train_bn=args.train_bn)
     if args.train_fused_kernels:
         config = config.replace(train_fused_kernels=True)
+    if args.bf16_momentum:
+        config = config.replace(train_momentum_dtype="bfloat16")
 
     dev = jax.devices()[0]
     print(f"# bench: {config.architecture} @ "
@@ -202,7 +208,8 @@ def _bench_train(args, config, params, anchors, images, batch):
               "weights; the kernels gate themselves off)", file=sys.stderr)
     suffix = ("" if config.train_bn == "batch" else f"_{config.train_bn}bn") \
         + ("_remat" if config.train_remat_backbone else "") \
-        + ("_fusedkernels" if config.train_fused_kernels else "")
+        + ("_fusedkernels" if config.train_fused_kernels else "") \
+        + ("_bf16mom" if config.train_momentum_dtype == "bfloat16" else "")
     print(json.dumps({
         "metric": (f"train_images_per_sec_per_chip_{config.architecture}_"
                    f"{config.image_height}{suffix}"),

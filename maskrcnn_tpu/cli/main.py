@@ -139,12 +139,17 @@ def cmd_convert(args) -> int:
             # Large diffs at RANDOM weights are usually a near-tie NMS
             # flip under a different kernel library (e.g. a TF process
             # that already imported with oneDNN on); trained weights have
-            # wide margins. Warn rather than fail.
+            # wide margins. Warn by default; --strict-export makes a
+            # broken export a hard failure for CI/automation (ADVICE r04).
             print("# WARNING: SavedModel reload differs from the JAX "
                   "forward beyond 1e-4 — likely a near-tie detection "
                   "flip from a different conv kernel library; verify "
                   "with trained weights (and TF_ENABLE_ONEDNN_OPTS=0)",
                   file=sys.stderr)
+            if getattr(args, "strict_export", False):
+                print("# --strict-export: failing on reload mismatch",
+                      file=sys.stderr)
+                return 1
     return 0
 
 
@@ -352,6 +357,8 @@ def cmd_train(args) -> int:
         config = config.replace(train_bn=args.train_bn)
     if args.remat:
         config = config.replace(train_remat_backbone=True)
+    if args.bf16_momentum:
+        config = config.replace(train_momentum_dtype="bfloat16")
     if args.synthetic:
         config = config.replace(
             architecture="resnet50",
@@ -560,9 +567,16 @@ def cmd_stream(args) -> int:
         # wire out of the loop (over a remote tunnel the wire dominates;
         # a locally-attached deployment sees this number).
         import jax
+
+        from maskrcnn_tpu.pipeline.preprocess import quantize_canvas_u8
+
+        # Quantize BEFORE staging: the non-prebatched path always ships
+        # uint8 (run_stream's wire convention), so staged batches must
+        # match — a float32 staged batch would silently compile and run a
+        # second program the uint8 warm-up above never touched (ADVICE r04).
         staged, buf = [], []
         for f in frames:
-            buf.append(f)
+            buf.append(quantize_canvas_u8(f))
             if len(buf) == args.micro_batch:
                 staged.append(jax.device_put(np.stack(buf)))
                 buf = []
@@ -578,7 +592,9 @@ def cmd_stream(args) -> int:
             micro_batch=args.micro_batch, paste_size=paste_size)
     counts = [int(v.sum()) for v in valid_refs]  # off the clock
     print(f"{stats.frames} frames in {stats.wall_s:.2f}s -> "
-          f"{stats.fps:.1f} fps, p50 latency {stats.p50_latency_ms:.1f} ms, "
+          f"{stats.fps:.1f} fps, latency p50 {stats.p50_latency_ms:.1f} / "
+          f"p95 {stats.p95_latency_ms:.1f} / p99 {stats.p99_latency_ms:.1f} "
+          f"ms ({stats.latency_probes} probes), "
           f"detections per microbatch: {counts[:8]}{'...' if len(counts) > 8 else ''}")
     if args.json:
         import jax
@@ -593,13 +609,20 @@ def cmd_stream(args) -> int:
                 "wall_s": round(stats.wall_s, 3),
                 "fps": round(stats.fps, 2),
                 "p50_latency_ms": round(stats.p50_latency_ms, 2),
-                # r04 methodology: fps from amortized in-order sync
+                "p95_latency_ms": round(stats.p95_latency_ms, 2),
+                "p99_latency_ms": round(stats.p99_latency_ms, 2),
+                "latency_probes": stats.latency_probes,
+                # r05 methodology: fps from amortized in-order sync
                 # (sync_every batches; r03's per-batch block_until_ready
-                # was unsound over the tunnel); p50 from separate blocking
-                # probes on DEVICE-STAGED frames — it excludes the
-                # host->device wire (measured separately:
+                # was unsound over the tunnel); p50/p95/p99 from separate
+                # blocking probes that RE-RUN the stream's own last full
+                # input batch (real content — the NMS fixpoint is
+                # data-dependent, so a zeros probe understates latency;
+                # ADVICE r04), device-staged so the host->device wire is
+                # excluded (measured separately:
                 # docs/stream_latency_decomp_r04.json).
-                "latency_methodology": "r04_blocking_probes_device_staged",
+                "latency_methodology":
+                    "r05_blocking_probes_device_staged_real_frame",
                 "device": jax.devices()[0].device_kind,
             }, f, indent=1)
         print(f"# wrote {args.json}", file=sys.stderr)
@@ -703,6 +726,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "forward on export")
     c.add_argument("--export-batch", type=int, default=1,
                    help="static batch size of the exported signature")
+    c.add_argument("--strict-export", action="store_true",
+                   help="exit nonzero if the SavedModel reload differs "
+                        "from the JAX forward beyond 1e-4 (default only "
+                        "warns: random-weight near-tie NMS flips under a "
+                        "different conv library are expected)")
     c.add_argument("--fp16", action="store_true",
                    help="store checkpoint weights as float16 (the "
                         "reference fp16-quantizes all three converted "
@@ -768,6 +796,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rematerialize the backbone+FPN in the backward "
                         "pass (config.train_remat_backbone) — required "
                         "for batch >= 16 at 1024² on a 16 GB chip")
+    t.add_argument("--bf16-momentum", action="store_true",
+                   help="bfloat16 SGD momentum accumulator "
+                        "(config.train_momentum_dtype): halves optimizer-"
+                        "state HBM footprint/traffic; params stay float32")
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--log-every", type=int, default=5)
     t.add_argument("--output", help="write final checkpoint.npz here")

@@ -140,6 +140,13 @@ class MaskRCNNConfig:
     # its activations, unlocking larger training batches on a 16 GB chip.
     # Off by default — batch 8 fits without it (PERF.md training section).
     train_remat_backbone: bool = False
+    # SGD momentum accumulator dtype. "bfloat16" halves the optimizer
+    # state's HBM footprint and traffic (~256 MB on the 64 M-param
+    # flagship); params stay float32 (an f32 master copy is inherent —
+    # optax.trace casts the accumulator only). The VERDICT-r04 "bf16
+    # gradient/accumulation" lever; measured arm in
+    # docs/bench_train_r05.json.
+    train_momentum_dtype: str = "float32"
 
     def __post_init__(self):
         if self.architecture not in _VALID_ARCHITECTURES:
@@ -170,6 +177,10 @@ class MaskRCNNConfig:
             raise ValueError(
                 f"train_bn must be 'batch' or 'frozen', got "
                 f"{self.train_bn!r}")
+        if self.train_momentum_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                "train_momentum_dtype must be 'float32' or 'bfloat16', "
+                f"got {self.train_momentum_dtype!r}")
 
     # --- derived ----------------------------------------------------------
     @property

@@ -70,7 +70,7 @@ def _bottleneck(tf, x, params, stage, block, is_conv, stride):
     return tf.nn.relu(y + sc)
 
 
-def _backbone_fpn(tf, params, x, architecture):
+def _resnet_taps(tf, params, x, architecture):
     from maskrcnn_tpu.models.resnet import _stage_blocks
 
     x = tf.pad(x, [[0, 0], [3, 3], [3, 3], [0, 0]])
@@ -82,7 +82,54 @@ def _backbone_fpn(tf, params, x, architecture):
     for stage, block, is_conv, _, stride in _stage_blocks(architecture):
         x = _bottleneck(tf, x, params, stage, block, is_conv, stride)
         feats[stage] = x
-    c2, c3, c4, c5 = feats[2], feats[3], feats[4], feats[5]
+    return feats[2], feats[3], feats[4], feats[5]
+
+
+def _mbv2_taps(tf, params, x):
+    """MobileNetV2 C2..C5, mirroring models/mobilenet.py::apply_mobilenetv2
+    (the backbone the repo ships beyond the reference — this branch closes
+    the one architecture the parity harness couldn't check, VERDICT r04)."""
+    from maskrcnn_tpu.models.mobilenet import _GROUPS, _TAPS
+
+    def relu6(t):
+        return tf.clip_by_value(t, 0.0, 6.0)
+
+    def dwconv(t, p, stride):
+        # stored (k, k, 1, C) for lax feature_group_count; depthwise_conv2d
+        # wants (k, k, C, channel_multiplier=1)
+        k = np.transpose(p["kernel"], (0, 1, 3, 2)).astype(np.float32)
+        y = tf.nn.depthwise_conv2d(t, k, strides=[1, stride, stride, 1],
+                                   padding="SAME")
+        return y + p["bias"].astype(np.float32)
+
+    x = _conv(tf, x, params["mbv2_stem"], stride=2, padding="SAME")
+    x = relu6(_bn(tf, x, params["mbv2_stem_bn"]))
+
+    taps = {}
+    for gi, (t, c, n, s) in enumerate(_GROUPS):
+        for bi in range(n):
+            stride = s if bi == 0 else 1
+            base = f"mbv2_g{gi}b{bi}"
+            cin = int(x.shape[-1])
+            y = x
+            if t != 1:
+                y = _conv(tf, y, params[base + "_expand"], padding="VALID")
+                y = relu6(_bn(tf, y, params[base + "_expand_bn"]))
+            y = dwconv(y, params[base + "_dw"], stride)
+            y = relu6(_bn(tf, y, params[base + "_dw_bn"]))
+            y = _conv(tf, y, params[base + "_project"], padding="VALID")
+            y = _bn(tf, y, params[base + "_project_bn"])
+            x = y + x if (stride == 1 and cin == c) else y
+        if gi in _TAPS:
+            taps[_TAPS[gi]] = x
+    return taps["c2"], taps["c3"], taps["c4"], taps["c5"]
+
+
+def _backbone_fpn(tf, params, x, architecture):
+    if architecture == "mobilenetv2":
+        c2, c3, c4, c5 = _mbv2_taps(tf, params, x)
+    else:
+        c2, c3, c4, c5 = _resnet_taps(tf, params, x, architecture)
 
     def up2(t):
         h, w = t.shape[1], t.shape[2]
@@ -214,10 +261,10 @@ def tf_forward(params: dict[str, Any], images: np.ndarray, anchors: np.ndarray,
     detection count.
     """
     tf = _tf()
-    if config.architecture not in ("resnet50", "resnet101"):
+    if config.architecture not in ("resnet50", "resnet101", "mobilenetv2"):
         raise NotImplementedError(
-            f"TF oracle supports resnet backbones, not "
-            f"{config.architecture}")
+            f"TF oracle supports resnet50/resnet101/mobilenetv2 backbones, "
+            f"not {config.architecture}")
     params = {k: {kk: np.asarray(vv, np.float32) for kk, vv in v.items()}
               for k, v in params.items()}
     images = np.asarray(images, np.float32)

@@ -46,7 +46,7 @@ class BatchingWorker:
     them through the detector as one padded batch."""
 
     def __init__(self, detector, max_batch: int = 8, window_ms: float = 5.0,
-                 uint8_wire: bool = True):
+                 uint8_wire: bool = False):
         self.detector = detector
         self.max_batch = max_batch
         self.window_ms = window_ms
@@ -54,6 +54,10 @@ class BatchingWorker:
         self.q: queue.Queue[_Pending] = queue.Queue()
         self.batches = 0
         self.frames = 0
+        # batch-size histogram: batch_size_counts[n] = batches formed with
+        # exactly n requests — the direct evidence dynamic batching engages
+        # under concurrent load (VERDICT r04 #1). Bounded: max_batch keys.
+        self.batch_size_counts: dict[int, int] = {}
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
@@ -89,10 +93,11 @@ class BatchingWorker:
                     break
             try:
                 # "rle": O(box area) region paste+encode per detection; the
-                # response carries RLE anyway, so full canvases are waste
-                # uint8_wire default ON for a long-running server: request
-                # images are 8-bit JPEG pixels anyway, and the quantized
-                # wire keeps host RAM flat over the tunnel (PERF.md r04)
+                # response carries RLE anyway, so full canvases are waste.
+                # uint8_wire is an explicit opt-in at this layer (the CLI
+                # passes True unless --exact): quantizing the canvas is a
+                # ±0.5 LSB numerics change library callers must choose,
+                # not inherit (ADVICE r04)
                 results = self.detector.detect_images(
                     [p.image for p in batch], paste_masks="rle",
                     batch_size=self.max_batch,
@@ -104,6 +109,8 @@ class BatchingWorker:
                     p.error = f"{type(e).__name__}: {e}"
             self.batches += 1
             self.frames += len(batch)
+            n = len(batch)
+            self.batch_size_counts[n] = self.batch_size_counts.get(n, 0) + 1
             for p in batch:
                 p.done.set()
 
@@ -133,13 +140,14 @@ def _detections_to_json(dets, num_classes: int = 81) -> dict:
 
 def make_server(detector, host: str = "127.0.0.1", port: int = 8389,
                 max_batch: int = 8, window_ms: float = 5.0,
-                uint8_wire: bool = True):
+                uint8_wire: bool = False):
     """Build (server, worker); call server.serve_forever() to run.
 
-    `uint8_wire` (default on — request pixels are 8-bit JPEG anyway, and
-    a persistent server must keep host RAM flat over the tunnel) is
-    forwarded to the worker; `cli serve --exact` turns it off to honor
-    the reference-exact-numerics contract."""
+    `uint8_wire` quantizes request canvases for the wire (±0.5 LSB;
+    request pixels are 8-bit JPEG anyway, and it keeps host RAM flat over
+    the tunnel — PERF.md r04). It is OFF by default at this library layer
+    so direct callers never inherit a silent numerics change; `cli serve`
+    passes True explicitly unless --exact (ADVICE r04)."""
     from maskrcnn_tpu.pipeline.loader import decode_rgb_bytes
 
     worker = BatchingWorker(detector, max_batch=max_batch,

@@ -28,6 +28,11 @@ class StreamStats:
     frames: int
     wall_s: float
     p50_latency_ms: float
+    # Tail percentiles over the same blocking probes (production frame
+    # budgets are per-frame bounds, not medians — BASELINE configs[4]).
+    p95_latency_ms: float = 0.0
+    p99_latency_ms: float = 0.0
+    latency_probes: int = 0
 
     @property
     def fps(self) -> float:
@@ -41,7 +46,7 @@ def run_stream(
     micro_batch: int = 1,
     prebatched: bool = False,
     paste_size: int | None = None,
-    latency_probes: int = 12,
+    latency_probes: int = 40,
     sync_every: int = 8,
 ) -> StreamStats:
     """Drive letterboxed (S, S, 3) frames through the persistent pipeline.
@@ -90,11 +95,20 @@ def run_stream(
     # below with honest blocking probes.
     last = None
     dispatched = 0
+    probe_src = None  # last FULL input batch — the probes re-run it
 
-    def track(out):
-        nonlocal last, dispatched
+    def track(out, batch_in):
+        nonlocal last, dispatched, probe_src
         last = out
         dispatched += 1
+        # Keep the largest (i.e. full-size) most recent input batch as the
+        # latency-probe source: the probe must match the stream's shape AND
+        # dtype (both are jit cache keys) and carry real frame content —
+        # the NMS kernel's fixpoint loop and kept-buffer chunk walk are
+        # data-dependent, so an all-zeros probe understates real-frame
+        # latency (ADVICE r04).
+        if probe_src is None or batch_in.shape[0] >= probe_src.shape[0]:
+            probe_src = batch_in
         if sync_every and dispatched % sync_every == 0:
             np.asarray(out["detections"][0, 0, 0])  # bound the queue
 
@@ -103,7 +117,7 @@ def run_stream(
             out = detector.run_batch(batch, paste_size=paste_size)
             if on_result is not None:
                 on_result(n, out)  # device references only — no sync
-            track(out)
+            track(out, batch)
             n += int(batch.shape[0])
     else:
         batch_buf: list[np.ndarray] = []
@@ -111,46 +125,50 @@ def run_stream(
             batch_buf.append(as_u8(frame))
             if len(batch_buf) < micro_batch:
                 continue
-            out = detector.run_batch(np.stack(batch_buf),
-                                     paste_size=paste_size)
+            stacked = np.stack(batch_buf)
+            out = detector.run_batch(stacked, paste_size=paste_size)
             if on_result is not None:
                 on_result(n, out)
-            track(out)
+            track(out, stacked)
             n += len(batch_buf)
             batch_buf = []
         if batch_buf:
-            out = detector.run_batch(np.stack(batch_buf),
-                                     paste_size=paste_size)
+            stacked = np.stack(batch_buf)
+            out = detector.run_batch(stacked, paste_size=paste_size)
             if on_result is not None:
                 on_result(n, out)
-            track(out)
+            track(out, stacked)
             n += len(batch_buf)
     if last is not None:
         np.asarray(last["detections"][0, 0, 0])  # hard sync: all done
     wall = time.perf_counter() - t_start
 
-    # Blocking p50: dispatch + hard readback per probe — what ONE
+    # Blocking latency: dispatch + hard readback per probe — what ONE
     # synchronous caller sees per micro-batch (includes the tunnel RPC
     # here; PCIe on a locally-attached host). Device-staged probe frames:
     # the wire leg is reported separately by tools/stream_latency_decomp.
-    if latency_probes and last is not None:
-        # Probe at the batch size the stream ACTUALLY ran (prebatched
-        # callers may never pass micro_batch) — a mismatched probe shape
-        # would silently recompile and measure a config the stream never
-        # executed.
-        probe_mb = (micro_batch if not prebatched
-                    else int(last["detections"].shape[0]))
-        size = detector.config.image_height
-        probe = jnp.asarray(np.zeros(
-            (probe_mb, size, detector.config.image_width, 3), np.uint8))
-        probe.block_until_ready()
+    # The probe re-runs the stream's own last full input batch, so shape,
+    # dtype AND content match the program the stream actually executed
+    # (a zeros probe under-exercises the data-dependent NMS fixpoint;
+    # a mismatched shape/dtype would silently compile a second program).
+    if latency_probes and probe_src is not None:
+        probe = jax.device_put(probe_src)
+        np.asarray(probe[0, 0, 0])  # hard-stage off the clock
         for _ in range(latency_probes):
             t0 = time.perf_counter()
             out = detector.run_batch(probe, paste_size=paste_size)
             np.asarray(out["detections"][0, 0, 0])
             lat.append(time.perf_counter() - t0)
-    p50 = sorted(lat)[len(lat) // 2] * 1000 if lat else 0.0
-    return StreamStats(frames=n, wall_s=wall, p50_latency_ms=p50)
+    if lat:
+        ms = np.sort(np.asarray(lat)) * 1000.0
+        p50 = float(np.percentile(ms, 50))
+        p95 = float(np.percentile(ms, 95))
+        p99 = float(np.percentile(ms, 99))
+    else:
+        p50 = p95 = p99 = 0.0
+    return StreamStats(frames=n, wall_s=wall, p50_latency_ms=p50,
+                       p95_latency_ms=p95, p99_latency_ms=p99,
+                       latency_probes=len(lat))
 
 
 def frames_from_dir(path: str, size: int) -> Iterator[np.ndarray]:

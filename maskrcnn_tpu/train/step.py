@@ -191,10 +191,16 @@ def make_optimizer(config: MaskRCNNConfig, trainable: str = "all"):
             for layer, weights in params.items()
         }
 
+    # bf16 momentum (config.train_momentum_dtype) halves optimizer-state
+    # HBM footprint/traffic; optax.trace rounds the accumulator each step
+    # while the param update itself stays f32 (master params inherent).
+    acc_dtype = (jnp.bfloat16
+                 if config.train_momentum_dtype == "bfloat16" else None)
     tx = optax.chain(
         optax.clip_by_global_norm(5.0),
         optax.add_decayed_weights(config.weight_decay, mask=decay_mask),
-        optax.sgd(config.learning_rate, momentum=0.9),
+        optax.sgd(config.learning_rate, momentum=0.9,
+                  accumulator_dtype=acc_dtype),
     )
     # Freezing is applied by zeroing grads with trainable_mask in train_step.
     return tx, trainable_mask

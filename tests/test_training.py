@@ -186,6 +186,47 @@ def test_train_step_reduces_loss(rng):
     assert losses[-1] < losses[0], losses
 
 
+def test_bf16_momentum_accumulator(rng):
+    """config.train_momentum_dtype='bfloat16' (the r05 optimizer-traffic
+    lever, docs/bench_train_r05.json): the momentum accumulator must be
+    stored bf16, params must STAY float32 (master copy), and the first
+    update must match the f32-momentum update to bf16 rounding (first-step
+    momentum == grads, so the only divergence is the accumulator cast)."""
+    cfg = tiny_test_config().replace(train_momentum_dtype="bfloat16")
+    params = init_mask_rcnn(jax.random.PRNGKey(0), cfg)
+    anchors = jnp.asarray(generate_anchors(cfg))
+    boxes, classes, masks = make_gt(rng, num_classes=cfg.num_classes)
+    batch = {
+        "images": jnp.asarray(
+            rng.uniform(0, 255, (1, 128, 128, 3)), jnp.float32),
+        "gt_boxes": jnp.asarray(boxes)[None],
+        "gt_class_ids": jnp.asarray(classes)[None],
+        "gt_masks": jnp.asarray(masks)[None],
+    }
+    key = jax.random.PRNGKey(42)
+
+    state_h, tx_h = make_train_state(params, cfg)
+    state_f, tx_f = make_train_state(params,
+                                     cfg.replace(train_momentum_dtype="float32"))
+    new_h, m_h = train_step(state_h, batch, anchors, key, cfg, tx_h)
+    new_f, m_f = train_step(state_f, batch, anchors, key,
+                            cfg.replace(train_momentum_dtype="float32"),
+                            tx_f)
+
+    mom_dtypes = {leaf.dtype for leaf in jax.tree_util.tree_leaves(
+        new_h.opt_state) if hasattr(leaf, "dtype") and leaf.ndim > 0}
+    assert jnp.dtype(jnp.bfloat16) in mom_dtypes, mom_dtypes
+    for leaf in jax.tree_util.tree_leaves(new_h.params):
+        assert leaf.dtype == jnp.float32
+    # identical loss (forward unaffected), params within bf16 rounding
+    np.testing.assert_allclose(float(m_h["loss"]), float(m_f["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(new_h.params),
+                    jax.tree_util.tree_leaves(new_f.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_freeze_heads_only(rng):
     cfg = tiny_test_config()
@@ -260,35 +301,45 @@ def test_fused_sgd_matches_optax(rng):
     from fused_sgd import fused_sgd_init, fused_sgd_step
     from maskrcnn_tpu.train.step import make_optimizer
 
-    cfg = tiny_test_config()
+    base_cfg = tiny_test_config()
+    # Includes a BatchNorm layer so the frozen-BN arm below actually
+    # exercises the whole-layer freeze (ADVICE r04: the flat path must
+    # mirror make_optimizer's _is_bn freeze, not just the layer regex).
     params = {
         "conv1": {"kernel": jnp.asarray(rng.normal(size=(3, 3, 4, 8)),
                                         jnp.float32),
                   "bias": jnp.asarray(rng.normal(size=(8,)), jnp.float32)},
+        "bn_conv1": {
+            "gamma": jnp.asarray(rng.normal(size=(8,)), jnp.float32),
+            "beta": jnp.asarray(rng.normal(size=(8,)), jnp.float32),
+            "moving_mean": jnp.zeros((8,), jnp.float32),
+            "moving_variance": jnp.ones((8,), jnp.float32)},
         "rpn_conv_shared": {"kernel": jnp.asarray(
             rng.normal(size=(1, 1, 8, 8)), jnp.float32)},
     }
     grads = jax.tree.map(
         lambda p: jnp.asarray(rng.normal(size=p.shape), jnp.float32) * 10,
         params)
-    for trainable in ("all", "heads"):
-        tx, mask_fn = make_optimizer(cfg, trainable)
-        s_tree = tx.init(params)
-        p_tree = p_flat = params
-        fstate = fused_sgd_init(params, cfg, trainable)
-        for _ in range(3):
-            mask = mask_fn(p_tree)
-            g = grads if mask is None else jax.tree.map(
-                lambda gg, m: gg * jnp.asarray(m, gg.dtype), grads, mask)
-            up, s_tree = tx.update(g, s_tree, p_tree)
-            p_tree = optax.apply_updates(p_tree, up)
-            p_flat, fstate = fused_sgd_step(
-                p_flat, grads, fstate, lr=cfg.learning_rate,
-                weight_decay=cfg.weight_decay)
-        for a, b in zip(jax.tree_util.tree_leaves(p_tree),
-                        jax.tree_util.tree_leaves(p_flat)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       atol=1e-7)
+    for train_bn in ("batch", "frozen"):
+        cfg = base_cfg.replace(train_bn=train_bn)
+        for trainable in ("all", "heads"):
+            tx, mask_fn = make_optimizer(cfg, trainable)
+            s_tree = tx.init(params)
+            p_tree = p_flat = params
+            fstate = fused_sgd_init(params, cfg, trainable)
+            for _ in range(3):
+                mask = mask_fn(p_tree)
+                g = grads if mask is None else jax.tree.map(
+                    lambda gg, m: gg * jnp.asarray(m, gg.dtype), grads, mask)
+                up, s_tree = tx.update(g, s_tree, p_tree)
+                p_tree = optax.apply_updates(p_tree, up)
+                p_flat, fstate = fused_sgd_step(
+                    p_flat, grads, fstate, lr=cfg.learning_rate,
+                    weight_decay=cfg.weight_decay)
+            for a, b in zip(jax.tree_util.tree_leaves(p_tree),
+                            jax.tree_util.tree_leaves(p_flat)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-7)
 
 
 @pytest.mark.slow

@@ -83,8 +83,22 @@ def fused_sgd_init(params, config, trainable: str = "all") -> FusedSGDState:
                     f"{jnp.asarray(arr).dtype}")
 
     pattern = re.compile(FREEZE_PRESETS.get(trainable, trainable))
+
+    # Mirror make_optimizer's frozen-BN whole-layer freeze (ADVICE r04):
+    # with config.train_bn == "frozen" every BatchNorm layer is untrainable
+    # regardless of the layer regex — without this the "arithmetic
+    # IDENTICAL to the optax chain" claim breaks for frozen-BN configs.
+    freeze_bn = config.train_bn == "frozen"
+
+    def _is_bn(weights) -> bool:
+        return set(weights) <= {"gamma", "beta",
+                                "moving_mean", "moving_variance"}
+
+    bn_layers = {layer for layer, weights in params.items()
+                 if _is_bn(weights)} if freeze_bn else set()
     train_mask = _mask_vector(
-        params, lambda layer, w: bool(pattern.fullmatch(layer)))
+        params, lambda layer, w: bool(pattern.fullmatch(layer))
+        and layer not in bn_layers)
     decay_mask = _mask_vector(
         params,
         lambda layer, w: w == "kernel" and bool(pattern.fullmatch(layer)))
