@@ -59,6 +59,12 @@ def main() -> int:
     ap.add_argument("--config", required=True)
     ap.add_argument("--images", required=True)
     ap.add_argument("--limit", type=int, default=8)
+    ap.add_argument("--precision", default="default",
+                    choices=("default", "highest"),
+                    help="JAX matmul precision: 'highest' forces true f32 "
+                         "MXU accumulation — the control arm that should "
+                         "collapse every stage delta if default-precision "
+                         "conv accumulation is the whole cause")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -95,8 +101,9 @@ def main() -> int:
         images = canvas[None].astype(np.float32)
 
         # --- JAX exact forward with intermediates ------------------------
-        out = forward(params, jnp.asarray(images), jnp.asarray(anchors),
-                      config, with_features=True)
+        with jax.default_matmul_precision(args.precision):
+            out = forward(params, jnp.asarray(images), jnp.asarray(anchors),
+                          config, with_features=True)
         pyr_j = [np.asarray(p, np.float32) for p in out["pyramid"]]
         logits_j = np.asarray(out["rpn_logits"], np.float32)[0]
         rois_j = np.asarray(out["rois"], np.float32)[0]
@@ -191,6 +198,7 @@ def main() -> int:
 
     report = {
         "config": "exact_numerics (f32, exact top-k, table anchors)",
+        "matmul_precision": args.precision,
         "weights": args.weights,
         "images": len(per_image),
         "summary": {

@@ -142,6 +142,19 @@ def main() -> int:
             Image.fromarray(arr).save(buf, "JPEG", quality=90)
             bodies.append(buf.getvalue())
 
+    # Warm the single compiled batch shape off the serving path, at the
+    # wire dtype — exactly cmd_serve's convention (a cold flagship compile
+    # over the tunnel exceeds the worker's 60 s submit timeout, so the
+    # first request would 500 instead of measuring anything).
+    from maskrcnn_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+    size = config.image_height
+    wire_dtype = np.uint8 if not args.tiny else np.float32
+    t0 = time.perf_counter()
+    detector.run_batch(np.zeros((args.max_batch, size, size, 3), wire_dtype))
+    print(f"# detector warmup (compile): {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+
     # uint8 wire: the CLI production default (cli serve without --exact) —
     # explicit here because the library layer defaults to the exact f32
     # wire (ADVICE r04)

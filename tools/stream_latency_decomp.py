@@ -40,7 +40,9 @@ import jax
 import jax.numpy as jnp
 
 
-def p50(fn, iters=24, warmup=3):
+def pcts(fn, iters=24, warmup=3):
+    """(p50, p95, p99) ms — tails included: production budgets are
+    per-request bounds, not medians (VERDICT r04 #3)."""
     for _ in range(warmup):
         fn()
     ts = []
@@ -48,8 +50,13 @@ def p50(fn, iters=24, warmup=3):
         t0 = time.perf_counter()
         fn()
         ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return ts[len(ts) // 2] * 1000.0
+    a = np.asarray(ts) * 1000.0
+    return tuple(round(float(np.percentile(a, q)), 2)
+                 for q in (50, 95, 99))
+
+
+def p50(fn, iters=24, warmup=3):
+    return pcts(fn, iters, warmup)[0]
 
 
 def main() -> int:
@@ -58,7 +65,7 @@ def main() -> int:
                     help="frames per dispatch (mb2 = the 53.7 fps config)")
     ap.add_argument("--iters", type=int, default=24)
     ap.add_argument("--pipeline-n", type=int, default=16)
-    ap.add_argument("--out", default="docs/stream_latency_decomp_r04.json")
+    ap.add_argument("--out", default="docs/stream_latency_decomp_r05.json")
     args = ap.parse_args()
 
     from maskrcnn_tpu.core.anchors import generate_anchors
@@ -81,8 +88,10 @@ def main() -> int:
     tiny = jnp.zeros((8, 128), jnp.float32)
     bump = jax.jit(lambda x: x + 1.0)
     np.asarray(bump(tiny))  # compile
-    report["null_roundtrip_ms"] = round(
-        p50(lambda: np.asarray(bump(tiny)), args.iters), 2)
+    n50, n95, n99 = pcts(lambda: np.asarray(bump(tiny)), args.iters)
+    report["null_roundtrip_ms"] = n50
+    report["null_roundtrip_p95_ms"] = n95
+    report["null_roundtrip_p99_ms"] = n99
 
     # device_put leg on a real frame (counted inside blocking_p50 too)
     report["transfer_ms"] = round(
@@ -109,7 +118,7 @@ def main() -> int:
             o = step()
             np.asarray(o["detections"][0, 0])  # hard sync via readback
 
-        blocking_ms = round(p50(blocking, args.iters), 2)
+        blocking_ms, blocking_p95, blocking_p99 = pcts(blocking, args.iters)
 
         # device interval: back-to-back dispatch, one sync at the end
         def pipelined():
@@ -121,6 +130,8 @@ def main() -> int:
         t = p50(pipelined, max(6, args.iters // 4))
         report[arm] = {
             "blocking_p50_ms": blocking_ms,
+            "blocking_p95_ms": blocking_p95,
+            "blocking_p99_ms": blocking_p99,
             "interval_ms": round(t / args.pipeline_n, 2),
             "fps_pipelined": round(1000.0 * mb / (t / args.pipeline_n), 1),
             "dispatch_sync_overhead_ms": round(
