@@ -125,12 +125,17 @@ def main() -> int:
         run()
 
     # Latency: block every step (what one caller waiting on results sees).
+    # p95/p99 alongside p50 — production budgets are per-request bounds,
+    # not medians (VERDICT r04 #3).
     times = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)
     med = sorted(times)[len(times) // 2]
+    import numpy as _np
+    p95, p99 = (float(_np.percentile(_np.asarray(times), q)) * 1000
+                for q in (95, 99))
 
     # Throughput: pipelined dispatch, one sync at the end (offline-serving
     # convention — keeps the device busy back-to-back).
@@ -143,7 +148,8 @@ def main() -> int:
 
     img_per_s = batch / pipelined
     print(f"# blocking p50 step {med*1000:.2f} ms "
-          f"({batch/med:.2f} img/s); pipelined {pipelined*1000:.2f} ms "
+          f"(p95 {p95:.2f} / p99 {p99:.2f}; {batch/med:.2f} img/s); "
+          f"pipelined {pipelined*1000:.2f} ms "
           f"-> {img_per_s:.2f} img/s, {pipelined/batch*1000:.2f} ms/img",
           file=sys.stderr)
 
